@@ -1,0 +1,275 @@
+"""TPU-native volume renderer.
+
+Capability parity with reference
+src/models/nerf/renderer/volume_renderer.py, redesigned as ONE jitted XLA
+program per ray-batch instead of three nested Python chunk loops:
+
+  stratified coarse sampling -> coarse MLP -> compositing weights ->
+  inverse-CDF importance resampling -> union sort -> fine MLP ->
+  alpha compositing (white background).
+
+Reference mapping:
+* ``stratified_sample`` / ``compute_weights`` / ``sample_pdf`` /
+  ``composite`` live in ``nerf_replication_tpu.ops.ray_ops``.
+* ESS/ERT ``fast_sampling`` masks (reference fine_sample_points:112-244)
+  are computed densely (`jnp.where`), matching the reference's
+  dense-scatter-zeros network path (network.py:234-253).
+* Eval-time chunking over rays is a single ``lax.map`` over fixed tiles
+  (replaces rays_size=160000 / sample_size=64 / chunk=512 loops,
+  volume_renderer.py:19-20,321,386-397).
+
+Documented quirk fixes vs the reference:
+* Renderer knobs read from ``cfg.task_arg`` (where the shipped YAML puts
+  them) with top-level fallback; the reference read only top-level keys
+  and silently ran on Python defaults (volume_renderer.py:14-24).
+* ``perturb`` is active during training; the reference compared
+  ``cfg.task`` (always "nerf-replication"/"run") against "train", so its
+  jitter never fired (volume_renderer.py:21-22).
+* Importance-sampling weights are ``stop_gradient``-ed and an optional
+  coarse RGB loss output is provided (standard NeRF); the reference
+  backprops through the CDF and supervises only the fine image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ....ops.ray_ops import (
+    compute_weights,
+    composite,
+    sample_pdf,
+    stratified_sample,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static renderer configuration (hashable -> usable as a jit static)."""
+
+    N_samples: int = 64
+    N_importance: int = 128
+    near: float = 2.0
+    far: float = 6.0
+    white_bkgd: bool = True
+    lindisp: bool = False
+    perturb: bool = True
+    raw_noise_std: float = 0.0
+    fast_sampling: bool = False
+    weights_threshold: float = 0.25
+    ert_threshold: float = 0.45
+    ray_chunk: int = 8192  # eval tile size for lax.map over rays
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "RenderSettings":
+        ta = cfg.get("task_arg", {})
+        get = lambda k, d: ta.get(k, cfg.get(k, d))
+        return cls(
+            N_samples=int(get("N_samples", 64)),
+            N_importance=int(get("N_importance", 128)),
+            near=float(get("near", 2.0)),
+            far=float(get("far", 6.0)),
+            white_bkgd=bool(get("white_bkgd", True)),
+            lindisp=bool(get("lindisp", False)),
+            perturb=bool(get("perturb", True)),
+            raw_noise_std=float(get("raw_noise_std", 0.0)),
+            fast_sampling=bool(get("fast_sampling", False)),
+            weights_threshold=float(get("weights_threshold", 0.25)),
+            ert_threshold=float(get("ert_threshold", 0.45)),
+            ray_chunk=int(get("ray_chunk", 8192)),
+        )
+
+
+def _ess_ert_mask(density_relu, t_coarse, t_fine_idx_below, s: RenderSettings):
+    """Dense ESS/ERT validity mask for fine samples.
+
+    Reference fine_sample_points:112-192 — empty-ray classification,
+    object/background split, ESS empty-bin test on trimmed weights, ERT
+    cummax transmittance cutoff — reproduced with dense jnp ops (no
+    gathers over ragged shapes).
+    Returns (N_rays, N_importance) bool.
+    """
+    density_sum = density_relu.sum(axis=-1)
+    empty_ray = density_sum < 1e-3
+    object_ray = density_relu.max(axis=-1) > 0.5
+
+    weights, _, trans = compute_weights(density_relu, t_coarse)
+    w = weights[..., 1:-1]
+    T = trans[..., 1:-1]
+
+    empty_bins = w < s.weights_threshold  # (N, S-2)
+
+    # ERT: once transmittance drops below threshold, everything after is
+    # invalid (cummax of the padded mask, fine_sample_points:161-171)
+    ert_base = T < s.ert_threshold
+    ert_padded = jnp.concatenate(
+        [jnp.zeros_like(ert_base[..., :1], dtype=bool), ert_base], axis=-1
+    )
+    ert_bins = jax.lax.cummax(ert_padded.astype(jnp.int32), axis=ert_padded.ndim - 1)[
+        ..., 1:
+    ].astype(bool)
+
+    below = jnp.clip(t_fine_idx_below, 0, w.shape[-1] - 1)
+    take = lambda m: jnp.take_along_axis(m, below, axis=-1)
+    ert_invalid = take(ert_bins)
+    below_empty = take(empty_bins)
+    above_empty = jnp.take_along_axis(
+        empty_bins, jnp.clip(t_fine_idx_below + 1, 0, w.shape[-1] - 1), axis=-1
+    )
+    ess_invalid = jnp.where(
+        object_ray[..., None], below_empty & above_empty, below_empty | above_empty
+    )
+    valid = ~(ess_invalid | ert_invalid)
+    return jnp.where(empty_ray[..., None], False, valid)
+
+
+def render_rays(
+    apply_fn,
+    params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: jax.Array | None,
+    s: RenderSettings,
+    train: bool = False,
+):
+    """Render a flat batch of rays. The whole chain is one XLA program.
+
+    Args:
+      apply_fn: ``apply_fn(params, pts, viewdirs, model) -> raw (..., 4)``.
+      rays_o/rays_d: (N, 3) world-space rays (directions unnormalised).
+      key: PRNG key (training: jitter/noise); None for deterministic eval.
+
+    Returns a dict: rgb, depth, acc, plus rgb_coarse/depth_coarse/acc_coarse
+    when N_importance > 0.
+    """
+    n_rays = rays_o.shape[0]
+    k_jitter = k_cdf = k_noise_c = k_noise_f = None
+    if key is not None:
+        k_jitter, k_cdf, k_noise_c, k_noise_f = jax.random.split(key, 4)
+
+    perturb_key = k_jitter if (train and s.perturb) else None
+    t_coarse = stratified_sample(
+        n_rays, s.N_samples, s.near, s.far, key=perturb_key, lindisp=s.lindisp
+    )
+    pts_coarse = rays_o[:, None] + rays_d[:, None] * t_coarse[..., None]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    raw_c = apply_fn(params, pts_coarse, viewdirs[:, None], "")
+    rgb_c = jax.nn.sigmoid(raw_c[..., :3])
+    noise_key = k_noise_c if (train and s.raw_noise_std > 0) else None
+    w_c, _, _ = compute_weights(
+        raw_c[..., 3], t_coarse, raw_noise_std=s.raw_noise_std, key=noise_key
+    )
+    rgb_map_c, depth_map_c, acc_map_c = composite(rgb_c, w_c, t_coarse, s.white_bkgd)
+
+    out = {"rgb": rgb_map_c, "depth": depth_map_c, "acc": acc_map_c}
+    if s.N_importance <= 0:
+        return out
+
+    # hierarchical resampling from the coarse weights; stop_gradient so the
+    # sampler positions don't leak gradients (quirk fix, see module doc)
+    bins = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
+    w_mid = jax.lax.stop_gradient(w_c[..., 1:-1])
+    t_fine = sample_pdf(
+        bins, w_mid, s.N_importance, key=k_cdf if train else None
+    )
+
+    t_all = jnp.sort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)
+    pts_all = rays_o[:, None] + rays_d[:, None] * t_all[..., None]
+
+    raw_f = apply_fn(params, pts_all, viewdirs[:, None], "fine")
+
+    if s.fast_sampling:
+        # dense validity masking: invalid points contribute zero density,
+        # mirroring the reference's zero-filled scatter (network.py:234-253)
+        density_c = jax.nn.relu(raw_c[..., 3])
+        # bin index of each fine sample within the coarse bins
+        below = (
+            jax.vmap(lambda b, v: jnp.searchsorted(b, v, side="right"))(
+                bins, t_fine
+            )
+            - 1
+        )
+        valid_f = _ess_ert_mask(density_c, t_coarse, below, s)
+        valid_all = jnp.concatenate(
+            [jnp.ones_like(t_coarse, dtype=bool), valid_f], axis=-1
+        )
+        order = jnp.argsort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)
+        valid_sorted = jnp.take_along_axis(valid_all, order, axis=-1)
+        raw_f = jnp.where(valid_sorted[..., None], raw_f, 0.0)
+
+    rgb_f = jax.nn.sigmoid(raw_f[..., :3])
+    noise_key = k_noise_f if (train and s.raw_noise_std > 0) else None
+    w_f, _, _ = compute_weights(
+        raw_f[..., 3], t_all, raw_noise_std=s.raw_noise_std, key=noise_key
+    )
+    rgb_map, depth_map, acc_map = composite(rgb_f, w_f, t_all, s.white_bkgd)
+
+    out.update(
+        rgb=rgb_map, depth=depth_map, acc=acc_map,
+        rgb_coarse=rgb_map_c, depth_coarse=depth_map_c, acc_coarse=acc_map_c,
+    )
+    return out
+
+
+class Renderer:
+    """Object API parity: ``Renderer(net).render(batch) -> (rgb, depth)``
+    (reference volume_renderer.py:290-432). ``net`` is the Flax Network;
+    params are passed per call (functional) or bound via ``bind_params``."""
+
+    def __init__(self, net, cfg=None, settings: RenderSettings | None = None):
+        self.net = net
+        self.settings = settings or (
+            RenderSettings.from_cfg(cfg) if cfg is not None else RenderSettings()
+        )
+        self._params = None
+
+        def apply_fn(params, pts, viewdirs, model):
+            return net.apply(params, pts, viewdirs, model=model)
+
+        self.apply_fn = apply_fn
+        self._render_train = jax.jit(
+            partial(render_rays, apply_fn, s=self.settings, train=True)
+        )
+        self._render_eval_chunk = jax.jit(
+            partial(render_rays, apply_fn, key=None, s=self.settings, train=False)
+        )
+
+    def bind_params(self, params):
+        self._params = params
+        return self
+
+    def render_rays_batch(self, params, rays_o, rays_d, key=None, train=False):
+        """Flat (N,3) rays -> output dict. Eval path tiles rays with
+        lax.map at ``settings.ray_chunk`` granularity."""
+        if train:
+            return self._render_train(params, rays_o, rays_d, key)
+        n = rays_o.shape[0]
+        chunk = min(self.settings.ray_chunk, n)
+        n_pad = (-n) % chunk
+        ro = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
+        rd = jnp.pad(rays_d, ((0, n_pad), (0, 0)), constant_values=1.0)
+        ro = ro.reshape(-1, chunk, 3)
+        rd = rd.reshape(-1, chunk, 3)
+        out = jax.lax.map(
+            lambda rr: self._render_eval_chunk(params, rr[0], rr[1]), (ro, rd)
+        )
+        out = jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:])[:n], out)
+        return out
+
+    def render(self, batch, params=None, key=None, train=False):
+        """Reference-contract entry: batch has rays_o/rays_d shaped
+        (B, N_rays, 3); returns (rgb_values, depth_values) flattened to
+        (B*N_rays, ...) like volume_renderer.py:301-303,432."""
+        params = params if params is not None else self._params
+        rays_o = jnp.asarray(batch["rays_o"]).reshape(-1, 3)
+        rays_d = jnp.asarray(batch["rays_d"]).reshape(-1, 3)
+        out = self.render_rays_batch(params, rays_o, rays_d, key=key, train=train)
+        return out["rgb"], out["depth"]
+
+
+def make_renderer(cfg, network) -> Renderer:
+    return Renderer(network, cfg=cfg)
