@@ -1,0 +1,182 @@
+"""Procedural NeRF-synthetic-format scene generator.
+
+This environment ships no copy of the Blender lego dataset (the
+reference's ``data/`` is empty), so we generate a *procedural* scene —
+colored constant-density primitives inside the [-1,1]^3 cube — and
+render ground-truth images by exact volume rendering along each ray.
+Output follows the NeRF-synthetic layout the Blender loader reads
+(reference src/datasets/nerf/blender.py): ``transforms_{split}.json``
+with ``camera_angle_x`` + ``frames[].file_path/transform_matrix``, RGBA
+PNGs, and ``*_depth_0001.png`` / ``*_normal_0001.png`` for the test
+split.
+
+The analytic field doubles as a training target: a NeRF trained on
+these images must reproduce them, giving a real PSNR convergence signal
+without external data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+# scene primitives: (center xyz, radius, rgb, density) spheres
+DEFAULT_SPHERES = [
+    ((0.0, 0.0, 0.0), 0.45, (0.85, 0.15, 0.10), 40.0),
+    ((0.55, 0.0, 0.25), 0.28, (0.10, 0.70, 0.20), 60.0),
+    ((-0.5, 0.35, -0.2), 0.25, (0.15, 0.25, 0.90), 60.0),
+    ((0.0, -0.55, 0.4), 0.2, (0.95, 0.85, 0.10), 80.0),
+    ((-0.1, 0.55, 0.45), 0.18, (0.90, 0.40, 0.80), 80.0),
+]
+CAMERA_ANGLE_X = 0.6911112070083618  # matches blender lego fov
+
+
+def field(pts: np.ndarray, spheres=DEFAULT_SPHERES):
+    """sigma (...,), rgb (..., 3) of the analytic volume at pts (..., 3)."""
+    sigma = np.zeros(pts.shape[:-1], dtype=np.float32)
+    rgb = np.zeros(pts.shape[:-1] + (3,), dtype=np.float32)
+    weight = np.zeros(pts.shape[:-1], dtype=np.float32)
+    for center, radius, color, density in spheres:
+        inside = np.linalg.norm(pts - np.array(center), axis=-1) < radius
+        sigma = np.where(inside, sigma + density, sigma)
+        w = inside.astype(np.float32) * density
+        rgb += w[..., None] * np.array(color, dtype=np.float32)
+        weight += w
+    rgb = np.where(weight[..., None] > 0, rgb / np.maximum(weight[..., None], 1e-8), 0.0)
+    return sigma, rgb
+
+
+def normal_field(pts: np.ndarray, spheres=DEFAULT_SPHERES):
+    """Surface normal of the nearest primitive (for test-split normals)."""
+    best = np.full(pts.shape[:-1], np.inf, dtype=np.float32)
+    normal = np.zeros_like(pts)
+    for center, radius, _, _ in spheres:
+        d = pts - np.array(center, dtype=np.float32)
+        dist = np.abs(np.linalg.norm(d, axis=-1) - radius)
+        closer = dist < best
+        best = np.where(closer, dist, best)
+        n = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+        normal = np.where(closer[..., None], n, normal)
+    return normal
+
+
+def look_at_pose(eye: np.ndarray) -> np.ndarray:
+    """c2w (4,4), OpenGL convention (camera -z looks at the origin)."""
+    forward = -eye / np.linalg.norm(eye)            # camera -z
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(forward @ up) > 0.999:
+        up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(forward, up)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, forward)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = -forward
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def camera_rays(pose: np.ndarray, H: int, W: int, focal: float):
+    us, vs = np.meshgrid(np.arange(W, dtype=np.float32) ,
+                         np.arange(H, dtype=np.float32))
+    dirs = np.stack(
+        [(us - W / 2.0) / focal, -(vs - H / 2.0) / focal, -np.ones_like(us)], -1)
+    rays_d = dirs @ pose[:3, :3].T
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = np.broadcast_to(pose[:3, 3], rays_d.shape)
+    return rays_o, rays_d
+
+
+def render_gt(pose, H, W, focal, spheres=DEFAULT_SPHERES,
+              n_samples=384, near=2.0, far=6.0):
+    """Exact-ish volume render (dense midpoint quadrature): returns
+    rgb (H,W,3), alpha (H,W), depth (H,W)."""
+    rays_o, rays_d = camera_rays(pose, H, W, focal)
+    t = np.linspace(near, far, n_samples, dtype=np.float32)
+    dt = (far - near) / (n_samples - 1)
+    # integrate in row blocks to bound memory
+    rgb_img = np.zeros((H, W, 3), dtype=np.float32)
+    alpha_img = np.zeros((H, W), dtype=np.float32)
+    depth_img = np.zeros((H, W), dtype=np.float32)
+    block = max(1, (1 << 22) // (W * n_samples))
+    for r0 in range(0, H, block):
+        r1 = min(H, r0 + block)
+        o = rays_o[r0:r1].reshape(-1, 1, 3)
+        d = rays_d[r0:r1].reshape(-1, 1, 3)
+        pts = o + d * t[None, :, None]
+        sigma, rgb = field(pts, spheres)
+        alpha = 1.0 - np.exp(-sigma * dt)
+        trans = np.cumprod(1.0 - alpha + 1e-10, axis=-1)
+        trans = np.concatenate([np.ones_like(trans[..., :1]), trans[..., :-1]], -1)
+        w = alpha * trans
+        rgb_ray = (w[..., None] * rgb).sum(-2)
+        acc = w.sum(-1)
+        depth = (w * t[None]).sum(-1) / np.maximum(acc, 1e-8)
+        rgb_img[r0:r1] = rgb_ray.reshape(r1 - r0, W, 3)
+        alpha_img[r0:r1] = acc.reshape(r1 - r0, W)
+        depth_img[r0:r1] = depth.reshape(r1 - r0, W)
+    return rgb_img, alpha_img, depth_img
+
+
+def generate_scene(
+    out_root: str,
+    scene: str = "probe",
+    H: int = 200,
+    W: int = 200,
+    n_train: int = 30,
+    n_val: int = 4,
+    n_test: int = 8,
+    radius: float = 4.0,
+    seed: int = 0,
+    spheres=DEFAULT_SPHERES,
+):
+    """Write a complete NeRF-synthetic-format scene; returns its dir."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    scene_dir = os.path.join(out_root, scene)
+    focal = W / (2.0 * np.tan(CAMERA_ANGLE_X / 2.0))
+
+    def poses_for(n, split_seed):
+        g = np.random.default_rng(seed + split_seed)
+        phis = g.uniform(0, 2 * np.pi, n)
+        thetas = np.arccos(g.uniform(0.15, 0.85, n))  # avoid poles
+        eyes = np.stack(
+            [radius * np.sin(thetas) * np.cos(phis),
+             radius * np.sin(thetas) * np.sin(phis),
+             radius * np.cos(thetas)], -1)
+        return [look_at_pose(e) for e in eyes]
+
+    for split, n, sseed in (("train", n_train, 1), ("val", n_val, 2),
+                            ("test", n_test, 3)):
+        split_dir = os.path.join(scene_dir, split)
+        os.makedirs(split_dir, exist_ok=True)
+        frames = []
+        for i, pose in enumerate(poses_for(n, sseed)):
+            rgb, alpha, depth = render_gt(pose, H, W, focal, spheres)
+            rgba = np.concatenate([rgb, alpha[..., None]], -1)
+            img = Image.fromarray(
+                (np.clip(rgba, 0, 1) * 255).astype(np.uint8), "RGBA")
+            name = f"r_{i}"
+            img.save(os.path.join(split_dir, name + ".png"))
+            if split == "test":
+                d8 = (np.clip(depth / 8.0, 0, 1) * 255).astype(np.uint8)
+                Image.fromarray(d8, "L").save(
+                    os.path.join(split_dir, name + "_depth_0001.png"))
+                rays_o, rays_d = camera_rays(pose, H, W, focal)
+                pts = rays_o + rays_d * depth[..., None]
+                nrm = normal_field(pts)
+                n8 = ((nrm * 0.5 + 0.5) * 255).astype(np.uint8)
+                Image.fromarray(n8, "RGB").save(
+                    os.path.join(split_dir, name + "_normal_0001.png"))
+            frames.append({
+                "file_path": f"./{split}/{name}",
+                "rotation": 0.0,
+                "transform_matrix": pose.tolist(),
+            })
+        with open(os.path.join(scene_dir, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": CAMERA_ANGLE_X, "frames": frames}, f)
+    return scene_dir
