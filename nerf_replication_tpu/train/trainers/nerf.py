@@ -1,0 +1,76 @@
+"""NeRF task wrapper (loss module).
+
+Capability parity with reference src/train/trainers/nerf.py:9-45
+(NetworkWrapper: renderer + MSE loss + PSNR metric), honoring the
+framework contract ``(output, loss, loss_stats, image_stats)`` that the
+reference trainer expects (trainer.py:53) but the reference wrapper
+breaks by returning a 5-key dict — a latent bug SURVEY.md §2 C13
+documents; we implement the contract.
+
+Quirk fix (config-gated): ``task_arg.coarse_loss`` (default True) adds
+the standard NeRF coarse-image MSE term; the reference supervises only
+the fine image (trainers/nerf.py:33), which starves the importance
+sampler. Set it False for strict parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...models.nerf.renderer.volume_renderer import (
+    RenderSettings,
+    Renderer,
+    render_rays,
+)
+from ...registry import register
+
+
+def psnr_from_mse(mse):
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+
+class NetworkWrapper:
+    def __init__(self, net, cfg, train_loader=None):
+        self.net = net
+        self.cfg = cfg
+        self.settings = RenderSettings.from_cfg(cfg)
+        self.renderer = Renderer(net, settings=self.settings)
+        self.coarse_loss = bool(cfg.get("task_arg", {}).get("coarse_loss", True))
+        self.apply_fn = self.renderer.apply_fn
+
+    # -- functional loss (used inside the jitted train step) -----------------
+    def loss_fn(self, params, batch, key, train: bool = True):
+        rays_o = batch["rays_o"].reshape(-1, 3)
+        rays_d = batch["rays_d"].reshape(-1, 3)
+        colors = batch["colors"].reshape(-1, 3)
+        out = render_rays(self.apply_fn, params, rays_o, rays_d,
+                          key if train else None, self.settings, train=train)
+        mse_fine = jnp.mean((out["rgb"] - colors) ** 2)
+        loss = mse_fine
+        if self.coarse_loss and "rgb_coarse" in out:
+            loss = loss + jnp.mean((out["rgb_coarse"] - colors) ** 2)
+        loss_stats = {
+            "loss": loss,
+            "color_mse": mse_fine,
+            "psnr": psnr_from_mse(mse_fine),
+        }
+        image_stats = {}
+        return loss, (out, loss_stats, image_stats)
+
+    def __call__(self, params, batch, key=None, train: bool = True):
+        """Framework contract: (output, loss, loss_stats, image_stats)."""
+        loss, (output, loss_stats, image_stats) = self.loss_fn(
+            params, batch, key, train)
+        return output, loss, loss_stats, image_stats
+
+    # -- eval-time full render ------------------------------------------------
+    def render_eval(self, params, batch):
+        rgb, depth = self.renderer.render(batch, params=params)
+        return rgb, depth
+
+
+@register("loss", "nerf", aliases=(
+    "src.train.trainers.nerf", "nerf_replication_tpu.train.trainers.nerf"))
+def _make_nerf_wrapper(cfg, network=None, train_loader=None):
+    return NetworkWrapper(network, cfg, train_loader)

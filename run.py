@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Staged debug/eval harness.
+
+Capability parity with reference run.py: ``--type
+{dataset,input,network,evaluate,mesh}`` dispatched via
+``globals()["run_" + type]`` (run.py:187-188).
+
+* dataset  — iterate the loader, print ray shapes (run.py:11-25)
+* input    — drive the renderer with a fake identity-field network to
+  validate sampling geometry before a model exists (run.py:6-8, 27-49)
+* network  — render 4 views with a trained net, per-view PSNR + PNG dump
+  (run.py:51-143)
+* evaluate — full metric evaluation + fps benchmark,
+  fps = 1/mean(net_time[1:]) (run.py:145-184)
+* mesh     — extract a density-field mesh (the reference ships
+  src/utils/mesh_utils.py but never wires it to a CLI; we do)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nerf_replication_tpu.config import init_global_cfg
+
+cfg, args = init_global_cfg()
+
+
+class TestNet:
+    """Identity-field fake network (reference TestNet, run.py:6-8):
+    rgb = raw point coords, sigma = 1 — validates sampling geometry."""
+
+    def apply(self, params, pts, viewdirs, model=""):
+        import jax.numpy as jnp
+
+        sigma = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
+        return jnp.concatenate([pts, sigma], axis=-1)
+
+
+def run_dataset():
+    from nerf_replication_tpu.datasets import make_data_loader
+
+    data_loader = make_data_loader(cfg, is_train=False)
+    for i, batch in enumerate(data_loader):
+        if i == 0:
+            print("rays_o shape:", batch["rays_o"].shape)
+            print("rays_d shape:", batch["rays_d"].shape)
+            print("example rays_o[0]:", batch["rays_o"][0, 0])
+            print("example rays_d[0]:", batch["rays_d"][0, 0])
+        print(f"batch {i}: keys={sorted(batch.keys())}")
+
+
+def run_input():
+    from nerf_replication_tpu.datasets import make_data_loader
+    from nerf_replication_tpu.models.nerf.renderer import make_renderer
+
+    data_loader = make_data_loader(cfg, is_train=False)
+    renderer = make_renderer(cfg, TestNet())
+    for batch in data_loader:
+        print("dataset output's rays_o shape:", batch["rays_o"].shape)
+        print("dataset output's rays_d shape:", batch["rays_d"].shape)
+        rgb, depth = renderer.render(batch, params=None)
+        print("render ok: rgb", rgb.shape, "depth", depth.shape,
+              "depth range", float(depth.min()), float(depth.max()))
+        break
+
+
+def run_network():
+    from nerf_replication_tpu.datasets import make_data_loader
+    from nerf_replication_tpu.evaluators.metrics import psnr_uint8
+    from nerf_replication_tpu.models import make_network
+    from nerf_replication_tpu.models.nerf.renderer import make_renderer
+    from nerf_replication_tpu.utils.ckpt_utils import load_network
+
+    network = make_network(cfg)
+    params = load_network(cfg.trained_model_dir, resume=cfg.resume,
+                          epoch=cfg.test.epoch)
+    renderer = make_renderer(cfg, network)
+    data_loader = make_data_loader(cfg, is_train=False)
+
+    out_dir = os.path.join(cfg.result_dir, "network_debug")
+    os.makedirs(out_dir, exist_ok=True)
+    total_time = 0.0
+    for count, batch in enumerate(data_loader):
+        t0 = time.time()
+        rgb, depth = renderer.render(batch, params=params)
+        rgb = np.asarray(rgb)
+        total_time += time.time() - t0
+        H = int(np.asarray(batch["H"]).reshape(-1)[0])
+        W = int(np.asarray(batch["W"]).reshape(-1)[0])
+        gt = np.asarray(batch["colors"]).reshape(-1, 3)
+        print(f"view {count}: psnr {psnr_uint8(rgb, gt):.2f}")
+        from PIL import Image
+
+        Image.fromarray(
+            (np.clip(rgb.reshape(H, W, 3), 0, 1) * 255).astype(np.uint8)
+        ).save(os.path.join(out_dir, f"view{count:03d}.png"))
+        if count == 3:
+            break
+    print("total_time:", total_time)
+
+
+def run_evaluate():
+    import jax
+
+    from nerf_replication_tpu.datasets import make_data_loader
+    from nerf_replication_tpu.evaluators import make_evaluator
+    from nerf_replication_tpu.models import make_network
+    from nerf_replication_tpu.models.nerf.renderer import make_renderer
+    from nerf_replication_tpu.utils.ckpt_utils import load_network
+
+    print(f"trained_model_dir: {cfg.trained_model_dir}")
+    network = make_network(cfg)
+    params = load_network(cfg.trained_model_dir, resume=cfg.resume,
+                          epoch=cfg.test.epoch)
+    data_loader = make_data_loader(cfg, is_train=False)
+    evaluator = make_evaluator(cfg)
+    renderer = make_renderer(cfg, network)
+
+    net_time = []
+    for batch in data_loader:
+        t0 = time.time()
+        output = renderer.render(batch, params=params)
+        jax.block_until_ready(output[0])
+        net_time.append(time.time() - t0)
+        evaluator.evaluate(output, batch)
+    result = evaluator.summarize()
+    print(result)
+    times = net_time[1:] if len(net_time) > 1 else net_time
+    print("net_time: ", float(np.mean(times)))
+    print("fps: ", 1.0 / float(np.mean(times)))
+    return result
+
+
+def run_mesh():
+    from nerf_replication_tpu.models import make_network
+    from nerf_replication_tpu.utils.ckpt_utils import load_network
+    from nerf_replication_tpu.utils.mesh_utils import extract_mesh
+
+    network = make_network(cfg)
+    params = load_network(cfg.trained_model_dir, resume=cfg.resume,
+                          epoch=cfg.test.epoch)
+    out = os.path.join(cfg.result_dir, "mesh.ply")
+    os.makedirs(cfg.result_dir, exist_ok=True)
+    extract_mesh(network, params, out, level=cfg.level,
+                 resolution=cfg.resolution)
+    print("mesh written to", out)
+
+
+if __name__ == "__main__":
+    globals()["run_" + args.type]()

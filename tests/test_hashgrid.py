@@ -1,0 +1,186 @@
+"""Hash-grid encoder family tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_replication_tpu.config import CN
+from nerf_replication_tpu.models.encoding import get_encoder
+from nerf_replication_tpu.models.encoding.hashgrid import (
+    HashGridEncoder,
+    _level_layout,
+)
+
+
+def _grid(**kw):
+    defaults = dict(input_dim=3, n_levels=4, n_features=2,
+                    log2_hashmap_size=12, base_resolution=4,
+                    per_level_scale=2.0)
+    defaults.update(kw)
+    return HashGridEncoder(**defaults)
+
+
+def test_level_layout_dense_then_hash():
+    scales, offsets, use_hash, T = _level_layout(
+        3, 4, 12, 4, -1, 2.0)
+    assert scales == [4, 8, 16, 32]
+    # (4+1)^3=125 dense, (8+1)^3=729 dense, (16+1)^3=4913 > 4096 hash
+    assert use_hash == [False, False, True, True]
+    assert offsets[1] - offsets[0] == 128  # 125 -> 8-aligned
+    assert offsets[3] - offsets[2] == 4096
+
+
+def test_forward_shape_and_grad():
+    enc = _grid()
+    x = jax.random.uniform(jax.random.key(0), (32, 3))
+    params = enc.init(jax.random.key(1), x)
+    out = enc.apply(params, x)
+    assert out.shape == (32, 8)
+
+    def loss(p):
+        return jnp.sum(enc.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    table_grad = g["params"]["table"]
+    assert np.isfinite(np.asarray(table_grad)).all()
+    # gradient is sparse: only touched entries are nonzero
+    assert (np.asarray(table_grad) != 0).sum() > 0
+    assert (np.asarray(table_grad) != 0).mean() < 0.5
+
+
+def test_interpolation_is_continuous():
+    """Feature must be continuous across a grid cell boundary."""
+    enc = _grid(n_levels=1, base_resolution=4, log2_hashmap_size=12)
+    params = enc.init(jax.random.key(0), jnp.zeros((1, 3)))
+    eps = 1e-4
+    below = jnp.array([[0.25 - eps, 0.3, 0.3]])
+    above = jnp.array([[0.25 + eps, 0.3, 0.3]])
+    f_below = enc.apply(params, below)
+    f_above = enc.apply(params, above)
+    np.testing.assert_allclose(np.asarray(f_below), np.asarray(f_above),
+                               atol=1e-3)
+
+
+def test_exact_at_grid_corners():
+    """At integer grid coordinates the encoding equals the table entry."""
+    enc = _grid(n_levels=1, base_resolution=4)
+    x = jnp.array([[0.5, 0.5, 0.5]])  # grid coord (2,2,2), dense level
+    params = enc.init(jax.random.key(0), x)
+    table = params["params"]["table"]
+    idx = 2 * 25 + 2 * 5 + 2  # dense index at res 4 -> (res+1)=5 stride
+    np.testing.assert_allclose(
+        np.asarray(enc.apply(params, x))[0],
+        np.asarray(table[idx]), rtol=1e-5)
+
+
+def test_normalization_bounds():
+    enc = _grid(bounds=(-2.0, -2.0, -2.0, 2.0, 2.0, 2.0))
+    x = jnp.array([[0.0, 0.0, 0.0], [5.0, 5.0, 5.0]])  # clamped to bounds
+    params = enc.init(jax.random.key(0), x)
+    out = enc.apply(params, x)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_jit_and_batch_dims():
+    enc = _grid()
+    x = jax.random.uniform(jax.random.key(0), (4, 7, 3))
+    params = enc.init(jax.random.key(1), x)
+    out = jax.jit(enc.apply)(params, x)
+    assert out.shape == (4, 7, 8)
+
+
+@pytest.mark.parametrize("etype,extra", [
+    ("cuda_hashgrid", {}),
+    ("hashgrid", {}),
+    ("cuda_triplane", {}),
+    ("triplane", {}),
+    ("cuda_hashgrid_latent", {"num_frames": 3}),
+    ("cuda_hashgrid_4d", {"num_frames": 3}),
+    ("cuda_hashgrid_coef", {"num_frames": 3, "basis_num": 2}),
+    ("cuda_motion2d", {"num_frames": 3}),
+])
+def test_encoder_zoo_dispatch(etype, extra):
+    cfg = CN({"type": etype, "num_levels": 2, "level_dim": 2,
+              "base_resolution": 4, "log2_hashmap_size": 10,
+              "per_level_scale": 2.0,
+              "bounds": [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0], **extra})
+    enc = get_encoder(cfg)
+    needs_time = etype in ("cuda_hashgrid_latent", "cuda_hashgrid_4d",
+                           "cuda_hashgrid_coef", "cuda_motion2d")
+    x = jax.random.uniform(jax.random.key(0), (16, 4 if needs_time else 3))
+    params = enc.init(jax.random.key(1), x)
+    out = enc.apply(params, x)
+    assert out.shape == (16, enc.output_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("variant", ["dnerf", "dnerf_ngp_tensorf"])
+def test_dnerf_encoders(variant):
+    cfg = CN({"type": variant, "freq": 4, "W": 32, "D": 2,
+              "num_frames": 3, "num_levels": 2, "level_dim": 2,
+              "base_resolution": 4, "log2_hashmap_size": 10,
+              "bounds": [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]})
+    enc = get_encoder(cfg)
+    xyzt = jnp.concatenate(
+        [jax.random.uniform(jax.random.key(0), (8, 3)),
+         jnp.ones((8, 1))], axis=-1)
+    params = enc.init(jax.random.key(1), xyzt)
+    out = enc.apply(params, xyzt)
+    assert out.shape == (8, enc.output_dim)
+    # canonical frame (t=0 / t=-1) also works
+    t0 = xyzt.at[:, 3].set(-1.0 if variant == "dnerf" else 0.0)
+    out0 = enc.apply(params, t0)
+    assert np.isfinite(np.asarray(out0)).all()
+
+
+def test_sh_encoder():
+    from nerf_replication_tpu.models.encoding.sh import SHEncoder
+
+    enc = SHEncoder(degree=4)
+    assert enc.output_dim == 16
+    d = jax.random.normal(jax.random.key(0), (10, 3))
+    out = enc(d)
+    assert out.shape == (10, 16)
+    # degree-0 term is the constant 1/(2 sqrt(pi))
+    np.testing.assert_allclose(np.asarray(out[:, 0]), 0.28209479, rtol=1e-5)
+
+
+def test_hashgrid_trains_to_fit_field():
+    """The grid must be able to overfit a smooth target — validates the
+    scatter-add backward end to end."""
+    import optax
+
+    enc = _grid(n_levels=4, base_resolution=4, log2_hashmap_size=14)
+    x = jax.random.uniform(jax.random.key(0), (512, 3))
+    target = jnp.sin(4.0 * x[:, :1]) * jnp.cos(3.0 * x[:, 1:2])
+
+    import flax.linen as nn
+
+    class Model(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            f = _grid(n_levels=4, base_resolution=4,
+                      log2_hashmap_size=14, name="grid")(x)
+            return nn.Dense(1)(f)
+
+    model = Model()
+    params = model.init(jax.random.key(1), x)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return jnp.mean((model.apply(p, x) - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss0 = None
+    for i in range(200):
+        params, opt_state, loss = step(params, opt_state)
+        if i == 0:
+            loss0 = float(loss)
+    assert float(loss) < 0.05 * loss0, (loss0, float(loss))
