@@ -23,6 +23,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from nerf_replication_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from __graft_entry__ import _flagship
     from nerf_replication_tpu.datasets.pipeline import rays_for_camera
     from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
@@ -56,19 +60,24 @@ def main():
             (ro, rd))
         return out.reshape(-1, 3)[:n_rays]
 
+    def fetch(x):
+        # host transfer: the only reliable completion fence on the
+        # experimental tunneled backend (block_until_ready returns early)
+        return float(jnp.sum(x))
+
     # warmup / compile
     ro, rd = rays_for_camera(jnp.asarray(poses[0]), H, W, focal)
-    img = render_image(params, ro, rd)
-    jax.block_until_ready(img)
+    fetch(render_image(params, ro, rd))
 
     times = []
     for pose in poses:
         ro, rd = rays_for_camera(jnp.asarray(pose), H, W, focal)
-        jax.block_until_ready((ro, rd))
+        fetch(ro)
         t0 = time.time()
         img = render_image(params, ro, rd)
-        jax.block_until_ready(img)
+        fetch(img)
         times.append(time.time() - t0)
+        print(f"frame: {times[-1]:.3f}s", file=sys.stderr)
 
     fps = 1.0 / float(np.mean(times))
     print(json.dumps({

@@ -55,13 +55,61 @@ def _coerce(new: Any, old: Any, key: str) -> Any:
 
 
 class CN(dict):
-    """Config node: a dict with attribute access and merge semantics."""
+    """Config node: a dict with attribute access and merge semantics.
+
+    Also carries the reference-yacs capability extras (yacs.py:64-282):
+    freeze/defrost immutability and a deprecated/renamed key registry
+    consulted during merges.
+    """
 
     def __init__(self, init: dict | None = None):
         super().__init__()
+        object.__setattr__(self, "_frozen", False)
+        object.__setattr__(self, "_deprecated_keys", set())
+        object.__setattr__(self, "_renamed_keys", {})
         if init:
             for k, v in init.items():
                 self[k] = self._convert(v)
+
+    # -- immutability (yacs freeze/defrost) ----------------------------------
+    def freeze(self):
+        object.__setattr__(self, "_frozen", True)
+        for v in self.values():
+            if isinstance(v, CN):
+                v.freeze()
+
+    def defrost(self):
+        object.__setattr__(self, "_frozen", False)
+        for v in self.values():
+            if isinstance(v, CN):
+                v.defrost()
+
+    def is_frozen(self) -> bool:
+        return getattr(self, "_frozen", False)
+
+    def __setitem__(self, key, value):
+        if getattr(self, "_frozen", False):
+            raise AttributeError(
+                f"attempted to set '{key}' on a frozen CN (call defrost())")
+        super().__setitem__(key, value)
+
+    # -- deprecated / renamed key registry (yacs.py registry capability) -----
+    def register_deprecated_key(self, key: str):
+        self._deprecated_keys.add(key)
+
+    def register_renamed_key(self, old: str, new: str):
+        self._renamed_keys[old] = new
+
+    def _check_key_status(self, key: str) -> str | None:
+        """Returns the effective key, or None if deprecated (dropped)."""
+        if key in getattr(self, "_deprecated_keys", ()):  # noqa: B909
+            print(f"[config] ignoring deprecated key: {key}")
+            return None
+        if key in getattr(self, "_renamed_keys", {}):
+            new = self._renamed_keys[key]
+            print(f"[config] key '{key}' was renamed to '{new}'")
+            return new
+        return key
 
     @staticmethod
     def _convert(v: Any) -> Any:
@@ -90,6 +138,9 @@ class CN(dict):
     def merge_from_other(self, other: "CN | dict") -> None:
         """Recursively merge ``other`` into self (other wins)."""
         for k, v in other.items():
+            k = self._check_key_status(k)
+            if k is None:
+                continue
             if k in self and isinstance(self[k], CN) and isinstance(v, dict):
                 self[k].merge_from_other(v)
             elif k in self:

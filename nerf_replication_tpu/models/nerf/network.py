@@ -99,6 +99,28 @@ class Network(nn.Module):
         return raw[..., 3]
 
 
+def load_weights_from_keras(weights: list, depth: int = 8):
+    """Original-NeRF TF/Keras weight list -> one branch's Flax params.
+
+    Capability parity with reference network.py:76-123: the list layout is
+    [pts_0 W, pts_0 b, ..., pts_{D-1} W, b, feature W, b, views_0 W, b,
+    rgb W, b, alpha W, b]. Keras kernels are (in, out) like Flax — no
+    transpose needed (the reference transposes for torch's (out, in)).
+    """
+    import numpy as np
+
+    p = {}
+    for i in range(depth):
+        p[f"pts_{i}"] = {"kernel": jnp.asarray(np.asarray(weights[2 * i])),
+                         "bias": jnp.asarray(np.asarray(weights[2 * i + 1]))}
+    base = 2 * depth
+    for off, name in ((0, "feature"), (2, "views_0"), (4, "rgb"),
+                      (6, "alpha")):
+        p[name] = {"kernel": jnp.asarray(np.asarray(weights[base + off])),
+                   "bias": jnp.asarray(np.asarray(weights[base + off + 1]))}
+    return p
+
+
 def init_params(net: Network, key, dtype=jnp.float32):
     """Initialise BOTH coarse and fine branches (a plain ``init`` traces
     only the branch selected by ``model``)."""

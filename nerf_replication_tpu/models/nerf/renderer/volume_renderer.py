@@ -237,6 +237,10 @@ class Renderer:
         self._render_eval_chunk = jax.jit(
             partial(render_rays, apply_fn, key=None, s=self.settings, train=False)
         )
+        coarse_only = dataclasses.replace(self.settings, N_importance=0)
+        self._render_coarse_chunk = jax.jit(
+            partial(render_rays, apply_fn, key=None, s=coarse_only, train=False)
+        )
 
     def bind_params(self, params):
         self._params = params
@@ -260,6 +264,55 @@ class Renderer:
         out = jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:])[:n], out)
         return out
 
+    def render_image_fast(self, params, rays_o, rays_d, eps: float = 1e-3):
+        """Eval-time empty-space skipping, TPU-style (the reference's
+        ESS/ERT fast_sampling capability re-designed for dense hardware):
+
+        1. coarse-only pass over ALL rays (1/4 of the dense FLOPs),
+        2. compact: keep rays whose coarse opacity exceeds ``eps``
+           (host-side index build — the only host sync per image),
+        3. full hierarchical render ONLY for surviving rays in fixed-size
+           tiles (one compiled shape, Python loop over tiles),
+        4. scatter fine results back; background rays keep the coarse
+           composite (white background for true misses).
+
+        On lego-like scenes ~60% of rays are background -> ~1.7x fewer
+        point evaluations than the dense path.
+        """
+        import numpy as np
+
+        n = rays_o.shape[0]
+        chunk = min(self.settings.ray_chunk, n)
+        n_pad = (-n) % chunk
+        ro = jnp.pad(rays_o, ((0, n_pad), (0, 0))).reshape(-1, chunk, 3)
+        rd = jnp.pad(rays_d, ((0, n_pad), (0, 0)),
+                     constant_values=1.0).reshape(-1, chunk, 3)
+        coarse = jax.lax.map(
+            lambda rr: self._render_coarse_chunk(params, rr[0], rr[1]),
+            (ro, rd))
+        coarse = jax.tree.map(
+            lambda x: x.reshape(-1, *x.shape[2:])[:n], coarse)
+
+        acc = np.asarray(coarse["acc"])
+        active = np.nonzero(acc > eps)[0]
+        out_rgb = np.asarray(coarse["rgb"]).copy()
+        out_depth = np.asarray(coarse["depth"]).copy()
+        out_acc = acc.copy()
+        if active.size:
+            pad = (-active.size) % chunk
+            idx = np.concatenate([active, np.zeros(pad, np.int64)])
+            ro_a = jnp.take(rays_o, idx, axis=0).reshape(-1, chunk, 3)
+            rd_a = jnp.take(rays_d, idx, axis=0).reshape(-1, chunk, 3)
+            outs = []
+            for t in range(ro_a.shape[0]):
+                outs.append(self._render_eval_chunk(params, ro_a[t], rd_a[t]))
+            fine = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0)[:active.size], *outs)
+            out_rgb[active] = np.asarray(fine["rgb"])
+            out_depth[active] = np.asarray(fine["depth"])
+            out_acc[active] = np.asarray(fine["acc"])
+        return {"rgb": out_rgb, "depth": out_depth, "acc": out_acc}
+
     def render(self, batch, params=None, key=None, train=False):
         """Reference-contract entry: batch has rays_o/rays_d shaped
         (B, N_rays, 3); returns (rgb_values, depth_values) flattened to
@@ -267,7 +320,12 @@ class Renderer:
         params = params if params is not None else self._params
         rays_o = jnp.asarray(batch["rays_o"]).reshape(-1, 3)
         rays_d = jnp.asarray(batch["rays_d"]).reshape(-1, 3)
-        out = self.render_rays_batch(params, rays_o, rays_d, key=key, train=train)
+        if not train and self.settings.fast_sampling and \
+                self.settings.N_importance > 0:
+            out = self.render_image_fast(params, rays_o, rays_d)
+        else:
+            out = self.render_rays_batch(params, rays_o, rays_d, key=key,
+                                         train=train)
         return out["rgb"], out["depth"]
 
 

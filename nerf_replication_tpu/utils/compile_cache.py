@@ -1,0 +1,27 @@
+"""Persistent XLA compilation cache.
+
+Compiles on the tunneled TPU backend here run through a remote compiler
+at ~2-8 min per jitted program; the persistent cache makes every CLI /
+bench rerun hit the disk cache instead. Safe no-op when unsupported.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_compile_cache(path: str | None = None):
+    import jax
+
+    path = path or os.environ.get("JAX_CACHE_DIR", _DEFAULT)
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # cache is best-effort
+        print(f"[compile_cache] disabled: {e}")
+    return path

@@ -27,8 +27,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nerf_replication_tpu.config import init_global_cfg
+from nerf_replication_tpu.utils.compile_cache import enable_compile_cache
 
 cfg, args = init_global_cfg()
+enable_compile_cache()
 
 
 class TestNet:

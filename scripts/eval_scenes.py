@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Multi-scene evaluation sweep: run `run.py --type evaluate` semantics
+over every NeRF-synthetic scene config and tabulate PSNR/SSIM/fps
+(the BASELINE.json "all 8 scenes multi-scene training + eval sweep"
+capability).
+
+Usage: python scripts/eval_scenes.py [--scenes lego chair ...] [--opts k v ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ALL_SCENES = ["chair", "drums", "ficus", "hotdog", "lego", "materials",
+              "mic", "ship"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scenes", nargs="*", default=ALL_SCENES)
+    p.add_argument("--train", action="store_true",
+                   help="train each scene before evaluating")
+    p.add_argument("--out", default="result/scene_sweep.json")
+    p.add_argument("--opts", nargs="*", default=[])
+    args = p.parse_args()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = {}
+    for scene in args.scenes:
+        cfg = os.path.join(root, f"configs/nerf/{scene}.yaml")
+        if not os.path.exists(cfg):
+            print(f"skip {scene}: no config")
+            continue
+        if args.train:
+            subprocess.run(
+                [sys.executable, os.path.join(root, "train.py"),
+                 "--cfg_file", cfg, *args.opts], cwd=root, check=True)
+        res = subprocess.run(
+            [sys.executable, os.path.join(root, "run.py"), "--type",
+             "evaluate", "--cfg_file", cfg, *args.opts],
+            cwd=root, capture_output=True, text=True)
+        metrics = {}
+        for line in res.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and "psnr" in line:
+                try:
+                    metrics = json.loads(line.replace("'", '"'))
+                except json.JSONDecodeError:
+                    pass
+            if line.startswith("fps:"):
+                metrics["fps"] = float(line.split()[-1])
+        results[scene] = metrics or {"error": res.stderr[-500:]}
+        print(scene, results[scene])
+
+    os.makedirs(os.path.dirname(os.path.join(root, args.out)), exist_ok=True)
+    with open(os.path.join(root, args.out), "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

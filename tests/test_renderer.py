@@ -149,3 +149,33 @@ def test_eval_chunking_matches_unchunked():
     np.testing.assert_allclose(
         np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=1e-5
     )
+
+
+def test_render_image_fast_matches_dense():
+    """Compacted eval (coarse-everywhere + fine-on-active) must match the
+    dense hierarchical render."""
+    from nerf_replication_tpu.config import default_cfg
+
+    cfg = default_cfg()
+    cfg.task_arg.update({"N_samples": 16, "N_importance": 16,
+                         "ray_chunk": 8, "fast_sampling": True})
+    field = SphereField()
+
+    class FakeNet:
+        def apply(self, params, pts, viewdirs, model=""):
+            return field.apply(params, pts, viewdirs, model)
+
+    r = Renderer(FakeNet(), cfg=cfg)
+    # mix of hit rays and miss rays
+    o_hit, d_hit = _rays_through_origin(5)
+    o_miss = jnp.tile(jnp.array([[3.0, 3.0, 4.0]]), (6, 1))
+    d_miss = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (6, 1))
+    ro = jnp.concatenate([o_hit, o_miss])
+    rd = jnp.concatenate([d_hit, d_miss])
+
+    fast = r.render_image_fast(None, ro, rd)
+    dense = r.render_rays_batch(None, ro, rd)
+    np.testing.assert_allclose(np.asarray(fast["rgb"]),
+                               np.asarray(dense["rgb"]), atol=2e-3)
+    # miss rays are white and were never fine-rendered
+    np.testing.assert_allclose(fast["rgb"][5:], 1.0, atol=1e-3)

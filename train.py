@@ -133,6 +133,9 @@ def main():
 
     import jax
 
+    from nerf_replication_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     if cfg.distributed:
         jax.distributed.initialize()
     if cfg.get("detect_anomaly", False):
