@@ -71,3 +71,54 @@ def test_img_utils():
     d = np.linspace(2, 6, 64).reshape(8, 8)
     vis = visualize_depth_numpy(d)
     assert vis.shape == (8, 8, 3) and vis.dtype == np.uint8
+
+
+def test_native_matches_numpy():
+    """C++ core and numpy fallback must agree geometrically."""
+    import pytest
+
+    from nerf_replication_tpu.utils.mesh_utils import (
+        _marching_tetrahedra_numpy,
+        marching_tetrahedra_native,
+    )
+
+    grid = _sphere_grid(R=32)
+    native = marching_tetrahedra_native(grid, 0.0, bounds=(-1.0, 1.0))
+    if native is None:
+        pytest.skip("native lib unavailable")
+    nv, nf = native
+    pv, pf = _marching_tetrahedra_numpy(grid, 0.0, bounds=(-1.0, 1.0))
+    assert len(nf) == len(pf)  # same triangle count
+    # same surface: mean radius and area agree
+    for verts, faces in ((nv, nf), (pv, pf)):
+        r = np.linalg.norm(verts, axis=-1)
+        np.testing.assert_allclose(r.mean(), 0.7, atol=0.03)
+    a = nv[nf[:, 0]]; b = nv[nf[:, 1]]; c = nv[nf[:, 2]]
+    area_n = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=-1).sum()
+    a = pv[pf[:, 0]]; b = pv[pf[:, 1]]; c = pv[pf[:, 2]]
+    area_p = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=-1).sum()
+    np.testing.assert_allclose(area_n, area_p, rtol=1e-3)
+    # native dedupes across cells: strictly fewer verts than 3*faces
+    assert len(nv) < 3 * len(nf)
+
+
+def test_native_speed_advantage():
+    import time
+
+    import pytest
+
+    from nerf_replication_tpu.utils.mesh_utils import (
+        _marching_tetrahedra_numpy,
+        marching_tetrahedra_native,
+    )
+
+    grid = _sphere_grid(R=64)
+    if marching_tetrahedra_native(grid, 0.0) is None:
+        pytest.skip("native lib unavailable")
+    t0 = time.time()
+    marching_tetrahedra_native(grid, 0.0)
+    t_native = time.time() - t0
+    t0 = time.time()
+    _marching_tetrahedra_numpy(grid, 0.0)
+    t_numpy = time.time() - t0
+    assert t_native < t_numpy
