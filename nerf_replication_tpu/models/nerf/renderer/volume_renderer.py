@@ -246,6 +246,25 @@ class Renderer:
         self._params = params
         return self
 
+    def enable_fused_mlp(self, params) -> bool:
+        """Route eval MLP evaluation through the Pallas fused kernel
+        (ops/pallas/mlp_kernel.py). Weights are baked from ``params`` at
+        enable time; eval-only (training keeps the differentiable XLA
+        path). Returns False when the architecture is unsupported."""
+        from ....ops.pallas.mlp_kernel import make_fused_apply
+
+        fused = make_fused_apply(self.net, params)
+        if fused is None:
+            return False
+        self._render_eval_chunk = jax.jit(
+            partial(render_rays, fused, key=None, s=self.settings,
+                    train=False))
+        coarse_only = dataclasses.replace(self.settings, N_importance=0)
+        self._render_coarse_chunk = jax.jit(
+            partial(render_rays, fused, key=None, s=coarse_only,
+                    train=False))
+        return True
+
     def render_rays_batch(self, params, rays_o, rays_d, key=None, train=False):
         """Flat (N,3) rays -> output dict. Eval path tiles rays with
         lax.map at ``settings.ray_chunk`` granularity."""

@@ -123,6 +123,8 @@ def run_evaluate():
     data_loader = make_data_loader(cfg, is_train=False)
     evaluator = make_evaluator(cfg)
     renderer = make_renderer(cfg, network)
+    if cfg.network.get("use_pallas_mlp", False):
+        print("fused pallas MLP:", renderer.enable_fused_mlp(params))
 
     net_time = []
     for batch in data_loader:

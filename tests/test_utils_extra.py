@@ -151,3 +151,51 @@ def test_profiling_timer():
     assert t.total > 0 and t.count == 1
     stats = device_memory_stats()
     assert "bytes_in_use" in stats
+
+
+def test_base_utils(tmp_path):
+    from nerf_replication_tpu.utils.base_utils import (
+        load_object,
+        project,
+        read_pickle,
+        save_pickle,
+    )
+
+    save_pickle({"a": 1}, str(tmp_path / "x.pkl"))
+    assert read_pickle(str(tmp_path / "x.pkl")) == {"a": 1}
+
+    K = np.array([[100.0, 0, 50], [0, 100, 50], [0, 0, 1]])
+    RT = np.eye(4)[:3]
+    pix = project(np.array([[0.0, 0.0, 2.0]]), K, RT)
+    np.testing.assert_allclose(pix, [[50.0, 50.0]])
+
+    sv = load_object("nerf_replication_tpu.train.recorder.SmoothedValue",
+                     {"window_size": 5})
+    assert sv.deque.maxlen == 5
+
+
+def test_vis_utils():
+    from nerf_replication_tpu.utils.vis_utils import compare_images, to_uint8
+
+    gt = np.zeros((8, 8, 3), np.float32)
+    pred = np.ones((8, 8, 3), np.float32) * 0.5
+    strip = compare_images(gt, pred)
+    assert strip.shape == (8, 24, 3)
+    assert to_uint8(pred).dtype == np.uint8
+
+
+def test_pipeline_sample_across_images():
+    from nerf_replication_tpu.datasets.pipeline import DeviceRayPipeline
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(4, 16, 16, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+    poses[:, 2, 3] = 4.0
+    K = np.array([[16.0, 0, 8], [0, 16, 8], [0, 0, 1]], np.float32)
+    pipe = DeviceRayPipeline(images, poses, K, n_rays=256,
+                             sample_across_images=True)
+    batch = jax.jit(pipe.sample)(jax.random.key(0))
+    assert batch["rays_o"].shape == (256, 3)
+    assert np.isfinite(np.asarray(batch["colors"])).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(batch["rays_d"]), axis=-1), 1.0, rtol=1e-5)
