@@ -150,33 +150,31 @@ def sample_pdf(
         u = jnp.linspace(0.0, 1.0, n_importance)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_importance,))
 
-    # TPU-first inverse CDF: instead of searchsorted + take_along_axis
-    # (per-ray sequential scans and gathers — measured 25x slower than the
-    # whole MLP on v5e), build the one-hot of the containing CDF interval
-    # with two dense comparisons and contract it against the interval
-    # endpoints as ONE batched matmul on the MXU. Semantically identical
-    # to torch.searchsorted(right=True) + clamped endpoint gathers
-    # (volume_renderer.py:152-264): for u in interval
-    # [cdf_i, cdf_{i+1}) the selected endpoints are (i, i+1); u >= cdf_B
-    # degenerates to the last bin edge exactly as the clipped gather does.
-    B1 = cdf.shape[-1]           # == bins count == B+1
+    # TPU-first inverse CDF: searchsorted + take_along_axis lower to
+    # per-ray sequential scans and gathers (measured 25x slower than the
+    # whole MLP on v5e). Instead, exploit that cdf AND bins are both
+    # monotone per ray: the right-bisection endpoints are
+    #   below = argmax_i {cdf_i <= u}   -> max of masked (cdf, bins)
+    #   above = argmin_j {cdf_j >  u}   -> min of masked (cdf, bins)
+    # expressed as masked min/max reductions over the bin axis — pure VPU
+    # reduction fusion, no gathers, no batched matmuls. Tie/tail behavior
+    # matches torch.searchsorted(right=True) + clamped gathers
+    # (volume_renderer.py:152-264): duplicates pick the last <=-entry /
+    # first >-entry; u beyond the final cdf degenerates to the last edge.
+    BIG = jnp.float32(1e10)
     uu = u[..., :, None]          # (..., M, 1)
-    cc = cdf[..., None, :]        # (..., 1, B1)
-    ge = uu >= cc
-    lt_next = jnp.concatenate(
-        [uu < cc[..., 1:],
-         jnp.ones(u.shape + (1,), dtype=bool)], axis=-1)
-    onehot = (ge & lt_next).astype(cdf.dtype)          # (..., M, B1)
+    cc = cdf[..., None, :]        # (..., 1, B+1)
+    bb = bins[..., None, :]       # (..., 1, B+1)
+    ge = uu >= cc                 # (..., M, B+1)
 
-    # endpoints per interval i: (cdf_i, cdf_{i+1}, bin_i, bin_{i+1})
-    cdf_next = jnp.concatenate([cdf[..., 1:], cdf[..., -1:]], axis=-1)
-    bin_next = jnp.concatenate([bins[..., 1:], bins[..., -1:]], axis=-1)
-    vals = jnp.stack([cdf, cdf_next, bins, bin_next], axis=-1)  # (..., B1, 4)
-    picked = jnp.einsum(
-        "...mb,...bc->...mc", onehot, vals,
-        preferred_element_type=jnp.float32)             # (..., M, 4)
-    cdf_below, cdf_above, bin_below, bin_above = (
-        picked[..., 0], picked[..., 1], picked[..., 2], picked[..., 3])
+    cdf_below = jnp.max(jnp.where(ge, cc, -BIG), axis=-1)
+    bin_below = jnp.max(jnp.where(ge, bb, -BIG), axis=-1)
+    cdf_above = jnp.min(jnp.where(ge, BIG, cc), axis=-1)
+    bin_above = jnp.min(jnp.where(ge, BIG, bb), axis=-1)
+    # tail: u >= cdf[..., -1] leaves the "above" set empty -> last edge
+    tail = cdf_above >= BIG
+    cdf_above = jnp.where(tail, cdf[..., -1:], cdf_above)
+    bin_above = jnp.where(tail, bins[..., -1:], bin_above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, 1.0, denom)

@@ -134,16 +134,25 @@ class Trainer:
 
         scan_fn = self._scan_cache.get(id(pipeline))
         if scan_fn is None:
-            def one_step(state, step_key):
-                k_data, k_render = jax.random.split(step_key)
-                batch = pipeline.sample(k_data, state["step"])
-                return self._train_step_inner(state, batch, k_render)
+            if self.mesh is not None and len(self.mesh.devices.ravel()) > 1:
+                # data-parallel: params replicated, per-step ray batch
+                # sharding-constrained over the data axis (XLA inserts the
+                # gradient reduction over ICI)
+                from ...parallel.mesh import make_dp_epoch_runner
 
-            def run_epoch(state, key):
-                keys = jax.random.split(key, n_steps)
-                return jax.lax.scan(one_step, state, keys)
+                scan_fn = make_dp_epoch_runner(self, pipeline, self.mesh,
+                                               n_steps)
+            else:
+                def one_step(state, step_key):
+                    k_data, k_render = jax.random.split(step_key)
+                    batch = pipeline.sample(k_data, state["step"])
+                    return self._train_step_inner(state, batch, k_render)
 
-            scan_fn = jax.jit(run_epoch, donate_argnums=0)
+                def run_epoch(state, key):
+                    keys = jax.random.split(key, n_steps)
+                    return jax.lax.scan(one_step, state, keys)
+
+                scan_fn = jax.jit(run_epoch, donate_argnums=0)
             self._scan_cache[id(pipeline)] = scan_fn
 
         t0 = time.time()

@@ -122,3 +122,41 @@ def test_sharded_eval_render_matches():
     fn = jax.jit(render, in_shardings=(None, dat, dat), out_shardings=dat)
     out = fn(None, jax.device_put(ro, dat), jax.device_put(rd, dat))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_trainer_train_device_with_mesh(tmp_path):
+    """train.py's DP path: Trainer.train_device over an 8-device mesh."""
+    from nerf_replication_tpu.config import default_cfg
+    from nerf_replication_tpu.datasets.pipeline import DeviceRayPipeline
+    from nerf_replication_tpu.models import make_network
+    from nerf_replication_tpu.models.nerf.network import init_params
+    from nerf_replication_tpu.train import make_trainer
+    from nerf_replication_tpu.train.recorder import Recorder
+
+    cfg = default_cfg()
+    cfg.ep_iter = 3
+    cfg.task_arg.update({"N_rays": 64, "N_samples": 8, "N_importance": 8})
+    cfg.network.nerf = {"D": 2, "W": 32, "V_D": 1, "skips": [1]}
+    cfg.network.xyz_encoder = {"type": "frequency", "input_dim": 3, "freq": 4}
+    cfg.network.dir_encoder = {"type": "frequency", "input_dim": 3, "freq": 2}
+    cfg.network.dtype = "float32"
+    cfg.record_dir = str(tmp_path / "rec")
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(3, 8, 8, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    poses[:, 2, 3] = 4.0
+    K = np.array([[8.0, 0, 4], [0, 8, 4], [0, 0, 1]], np.float32)
+    pipe = DeviceRayPipeline(images, poses, K, n_rays=64)
+
+    mesh = make_mesh()
+    net = make_network(cfg)
+    trainer = make_trainer(cfg, net, mesh=mesh)
+    state = trainer.init_state(init_params(net, jax.random.key(0)))
+    rec = Recorder(cfg, process_index=0)
+    state = trainer.train_device(0, pipe, state, rec)
+    assert int(state["step"]) == 3
+    loss0 = rec.loss_stats["loss"].avg
+    state = trainer.train_device(1, pipe, state, rec)
+    assert int(state["step"]) == 6
+    assert np.isfinite(loss0)

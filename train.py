@@ -44,7 +44,13 @@ def train(cfg, network):
     train_dataset = make_dataset(cfg, is_train=True)
     val_loader = make_data_loader(cfg, is_train=False)
 
-    trainer = make_trainer(cfg, network)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from nerf_replication_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg)
+        print(f"data-parallel mesh: {mesh.devices.ravel().size} devices")
+    trainer = make_trainer(cfg, network, mesh=mesh)
     recorder = make_recorder(cfg)
     evaluator = make_evaluator(cfg)
 
