@@ -13,9 +13,11 @@ TPU-first design: the forward is a fused gather + multilinear
 interpolation expressed in XLA (one `take` per level, unrolled over L
 static levels — XLA fuses the weighting); the backward is XLA's
 scatter-add, the deterministic TPU analog of the CUDA kernel's
-``atomicAdd`` (hashencoder.cu:254-269). A Pallas kernel path for the
-gather/interp hot loop lives in ``ops/pallas/hash_kernel.py`` and is
-used when enabled (``use_pallas``).
+``atomicAdd`` (hashencoder.cu:254-269). A hand-written Pallas kernel for
+the gather was evaluated and rejected: Mosaic exposes no per-element
+VMEM gather, and XLA's native gather/scatter-add is the efficient TPU
+formulation here (SURVEY.md §2.2 notes the pure-XLA take/segment-sum
+route as the intended equivalent).
 
 Notes vs the reference:
 * the reference nudges the table size to the next prime (sympy isprime,
@@ -81,7 +83,6 @@ class HashGridEncoder(nn.Module):
     finest_resolution: int = -1
     per_level_scale: float = 2.0
     bounds: tuple = ()        # optional (2*D,) world bounds for normalize
-    use_pallas: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -107,7 +108,6 @@ class HashGridEncoder(nn.Module):
                                 g("desired_resolution", -1)),
             per_level_scale=g("per_level_scale", 2.0),
             bounds=tuple(g("bounds", g("bbox", ()))),
-            use_pallas=bool(g("use_pallas", False)),
         )
         kw.update(overrides)
         return cls(**kw)

@@ -18,6 +18,11 @@ def enable_compile_cache(path: str | None = None):
 
     path = path or os.environ.get("JAX_CACHE_DIR", _DEFAULT)
     try:
+        # CPU AOT cache entries embed machine-feature flags that differ
+        # between processes on this host and can SIGILL on reload — only
+        # cache accelerator compiles (where it saves minutes).
+        if jax.default_backend() == "cpu":
+            return None
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -171,3 +171,26 @@ def test_recorder_smoothing_and_state(tmp_path):
     assert r3.writer is None
     r3.update_loss_stats({"loss": 1.0})
     assert r3.loss_stats == {}
+
+
+def test_train_resume_after_interrupt(scene_root, tmp_path):
+    """Failure recovery (SURVEY.md §5): kill after epoch 1, rerun, and the
+    run resumes from latest.ckpt instead of restarting."""
+    import train as train_cli
+
+    from nerf_replication_tpu.models import make_network
+
+    cfg = _img_fit_cfg(scene_root, tmp_path)
+    cfg.ep_iter = 10
+    cfg.train.epoch = 1
+    cfg.eval_ep = 100  # skip eval
+    network = make_network(cfg)
+    train_cli.train(cfg, network)  # epoch 0 only, saves latest
+
+    cfg2 = _img_fit_cfg(scene_root, tmp_path)
+    cfg2.ep_iter = 10
+    cfg2.train.epoch = 2
+    cfg2.eval_ep = 100
+    state = train_cli.train(cfg2, make_network(cfg2))
+    # resumed: total steps = 2 epochs x 10 iters
+    assert int(state["step"]) == 20
