@@ -127,11 +127,22 @@ def run_evaluate():
         print("fused pallas MLP:", renderer.enable_fused_mlp(params))
 
     net_time = []
-    for batch in data_loader:
+    for i, batch in enumerate(data_loader):
+        profiling = bool(cfg.get("profile", False)) and i == 1
+        if profiling:
+            from nerf_replication_tpu.utils.profiling import trace
+
+            trace_cm = trace(os.path.join(cfg.record_dir, "trace"))
+            trace_cm.__enter__()
         t0 = time.time()
         output = renderer.render(batch, params=params)
-        jax.block_until_ready(output[0])
+        # host fetch: completion fence (block_until_ready is unreliable
+        # on the tunneled backend)
+        float(np.asarray(output[0]).sum())
         net_time.append(time.time() - t0)
+        if profiling:
+            trace_cm.__exit__(None, None, None)
+            print("profiler trace:", os.path.join(cfg.record_dir, "trace"))
         evaluator.evaluate(output, batch)
     result = evaluator.summarize()
     print(result)
