@@ -131,11 +131,18 @@ def _kernel(depth, skip,
 
 
 def fused_nerf_mlp(packed: dict, pts_feat: jnp.ndarray,
-                   view_feat: jnp.ndarray, tile_n: int = TILE_N):
+                   view_feat: jnp.ndarray, tile_n: int = TILE_N,
+                   interpret: bool | None = None):
     """(N, in_dim), (N, view_dim) -> raw (N, 4) float32.
 
-    N is padded to a tile multiple internally.
+    N is padded to a tile multiple internally. ``interpret`` (or env
+    PALLAS_INTERPRET=1) runs the kernel in the Pallas interpreter so the
+    TPU kernel logic is testable on CPU.
     """
+    import os
+
+    if interpret is None:
+        interpret = os.environ.get("PALLAS_INTERPRET", "0") == "1"
     meta = packed["_meta"]
     in_pad, view_pad, depth, skip = (int(m) for m in meta)
     n = pts_feat.shape[0]
@@ -177,6 +184,7 @@ def fused_nerf_mlp(packed: dict, pts_feat: jnp.ndarray,
             bytes_accessed=n_full * (in_pad + view_pad) * 2 + n_full * 512,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(x, v, *weights)
     return out[:n, :4]
 
