@@ -62,7 +62,10 @@ def main():
 
     H = W = int(os.environ.get("BENCH_SIZE", "800"))
     frames = int(os.environ.get("BENCH_FRAMES", "4"))
-    fast = os.environ.get("BENCH_FAST", "0") == "1"
+    # compaction is on by default: survivors render identically to the
+    # dense path; only true-background rays (coarse acc < 1e-3) keep the
+    # coarse/white composite (BENCH_FAST=0 forces the fully dense render)
+    fast = os.environ.get("BENCH_FAST", "1") == "1"
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     cfg, net, params, settings, apply_fn = _flagship()
     ray_chunk = int(os.environ.get("BENCH_RAY_CHUNK",

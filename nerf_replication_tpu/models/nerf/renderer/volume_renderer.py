@@ -234,10 +234,16 @@ class Renderer:
         self._render_train = jax.jit(
             partial(render_rays, apply_fn, s=self.settings, train=True)
         )
+        # eval chunks run WITHOUT the dense per-sample masks: at eval time
+        # the ESS/ERT capability is realised by ray compaction
+        # (render_image_fast), so surviving rays match the dense render
+        # bit-for-bit
+        eval_settings = dataclasses.replace(self.settings, fast_sampling=False)
         self._render_eval_chunk = jax.jit(
-            partial(render_rays, apply_fn, key=None, s=self.settings, train=False)
+            partial(render_rays, apply_fn, key=None, s=eval_settings,
+                    train=False)
         )
-        coarse_only = dataclasses.replace(self.settings, N_importance=0)
+        coarse_only = dataclasses.replace(eval_settings, N_importance=0)
         self._render_coarse_chunk = jax.jit(
             partial(render_rays, apply_fn, key=None, s=coarse_only, train=False)
         )
@@ -256,10 +262,11 @@ class Renderer:
         fused = make_fused_apply(self.net, params)
         if fused is None:
             return False
+        eval_settings = dataclasses.replace(self.settings, fast_sampling=False)
         self._render_eval_chunk = jax.jit(
-            partial(render_rays, fused, key=None, s=self.settings,
+            partial(render_rays, fused, key=None, s=eval_settings,
                     train=False))
-        coarse_only = dataclasses.replace(self.settings, N_importance=0)
+        coarse_only = dataclasses.replace(eval_settings, N_importance=0)
         self._render_coarse_chunk = jax.jit(
             partial(render_rays, fused, key=None, s=coarse_only,
                     train=False))

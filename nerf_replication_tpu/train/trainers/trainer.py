@@ -199,11 +199,22 @@ class Trainer:
         n = 0
         for batch in data_loader:
             b = host_batch_to_device(batch)
-            output, loss, loss_stats, _ = self.wrapper(
-                params, b, key=None, train=False)
+            # full images must go through the CHUNKED eval render (a direct
+            # wrapper loss call would trace an unchunked 160k-ray render)
+            if hasattr(self.wrapper, "render_eval"):
+                eval_out = self.wrapper.render_eval(params, b)
+                rgb_pred = (eval_out["rgb"] if isinstance(eval_out, dict)
+                            else eval_out[0])
+                gt = b.get("colors", b.get("rgb"))
+                mse = float(np.mean(
+                    (np.asarray(rgb_pred).reshape(-1, 3) -
+                     np.asarray(gt).reshape(-1, 3)) ** 2))
+                loss_stats = {"loss": mse, "color_mse": mse,
+                              "psnr": -10.0 * np.log10(max(mse, 1e-10))}
+            else:
+                eval_out, loss, loss_stats, _ = self.wrapper(
+                    params, b, key=None, train=False)
             if evaluator is not None:
-                eval_out = (self.wrapper.render_eval(params, b)
-                            if hasattr(self.wrapper, "render_eval") else output)
                 evaluator.evaluate(eval_out, batch)
             for k, v in loss_stats.items():
                 val_stats[k] = val_stats.get(k, 0.0) + float(np.asarray(v).mean())
