@@ -51,8 +51,10 @@ def main():
     watchdog = _arm_watchdog()
 
     from __graft_entry__ import _flagship
-    from nerf_replication_tpu.datasets.pipeline import rays_for_camera
-    from nerf_replication_tpu.utils.synthetic_scene import look_at_pose
+    from nerf_replication_tpu.utils.synthetic_scene import (
+        camera_rays,
+        look_at_pose,
+    )
 
     import dataclasses
 
@@ -83,29 +85,29 @@ def main():
         print("fused pallas MLP:", renderer.enable_fused_mlp(params),
               file=sys.stderr)
 
-    def render_image(params, rays_o, rays_d):
-        if fast:
-            return renderer.render_image_fast(params, rays_o, rays_d)["rgb"]
-        return renderer.render_rays_batch(params, rays_o, rays_d)["rgb"]
+    capacity = float(os.environ.get("BENCH_CAPACITY", "0.5"))
+    frame_fn = renderer.make_frame_renderer(
+        H, W, focal, capacity=capacity if fast else 1.0)
+
+    def render_image(params, pose):
+        # single dispatch: pose up (64 B), image down — tunnel-friendly
+        return frame_fn(params, jnp.asarray(pose))
 
     def fetch(x):
         # host transfer: the only reliable completion fence on the
         # experimental tunneled backend (block_until_ready returns early)
-        return float(jnp.sum(x))
+        return float(np.asarray(x).sum())
 
     # warmup / compile
-    ro, rd = rays_for_camera(jnp.asarray(poses[0]), H, W, focal)
-    fetch(render_image(params, ro, rd))
+    fetch(render_image(params, poses[0]))
 
     times = []
     for pose in poses:
-        ro, rd = rays_for_camera(jnp.asarray(pose), H, W, focal)
-        fetch(ro)
         t0 = time.time()
-        img = render_image(params, ro, rd)
+        img = render_image(params, pose)
         fetch(img)
         times.append(time.time() - t0)
-        print(f"frame: {times[-1]:.3f}s", file=sys.stderr)
+        print(f"frame: {times[-1]:.3f}s", file=sys.stderr, flush=True)
 
     fps = 1.0 / float(np.mean(times))
     watchdog.cancel()

@@ -307,37 +307,109 @@ class Renderer:
         """
         import numpy as np
 
+        # All padding/chunking/gather/scatter run in HOST numpy: on the
+        # tunneled backend every distinct eager device op costs a remote
+        # compile (minutes); the only device programs here are the two
+        # pre-jitted chunk renders. Host roundtrips are a few MB/frame.
+        rays_o = np.asarray(rays_o)
+        rays_d = np.asarray(rays_d)
         n = rays_o.shape[0]
         chunk = min(self.settings.ray_chunk, n)
         n_pad = (-n) % chunk
-        ro = jnp.pad(rays_o, ((0, n_pad), (0, 0))).reshape(-1, chunk, 3)
-        rd = jnp.pad(rays_d, ((0, n_pad), (0, 0)),
-                     constant_values=1.0).reshape(-1, chunk, 3)
-        coarse = jax.lax.map(
-            lambda rr: self._render_coarse_chunk(params, rr[0], rr[1]),
-            (ro, rd))
-        coarse = jax.tree.map(
-            lambda x: x.reshape(-1, *x.shape[2:])[:n], coarse)
+        ro = np.pad(rays_o, ((0, n_pad), (0, 0))).reshape(-1, chunk, 3)
+        rd = np.pad(rays_d, ((0, n_pad), (0, 0)),
+                    constant_values=1.0).reshape(-1, chunk, 3)
 
-        acc = np.asarray(coarse["acc"])
-        active = np.nonzero(acc > eps)[0]
-        out_rgb = np.asarray(coarse["rgb"]).copy()
-        out_depth = np.asarray(coarse["depth"]).copy()
-        out_acc = acc.copy()
+        out_rgb = np.empty((n + n_pad, 3), np.float32)
+        out_depth = np.empty(n + n_pad, np.float32)
+        out_acc = np.empty(n + n_pad, np.float32)
+        pending = []
+        for t in range(ro.shape[0]):
+            pending.append(
+                (t, self._render_coarse_chunk(params, ro[t], rd[t])))
+        for t, out in pending:  # async dispatch above, fetch here
+            sl = slice(t * chunk, (t + 1) * chunk)
+            out_rgb[sl] = np.asarray(out["rgb"])
+            out_depth[sl] = np.asarray(out["depth"])
+            out_acc[sl] = np.asarray(out["acc"])
+        out_rgb, out_depth, out_acc = (
+            out_rgb[:n], out_depth[:n], out_acc[:n])
+
+        active = np.nonzero(out_acc > eps)[0]
         if active.size:
             pad = (-active.size) % chunk
             idx = np.concatenate([active, np.zeros(pad, np.int64)])
-            ro_a = jnp.take(rays_o, idx, axis=0).reshape(-1, chunk, 3)
-            rd_a = jnp.take(rays_d, idx, axis=0).reshape(-1, chunk, 3)
-            outs = []
-            for t in range(ro_a.shape[0]):
-                outs.append(self._render_eval_chunk(params, ro_a[t], rd_a[t]))
-            fine = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0)[:active.size], *outs)
-            out_rgb[active] = np.asarray(fine["rgb"])
-            out_depth[active] = np.asarray(fine["depth"])
-            out_acc[active] = np.asarray(fine["acc"])
+            ro_a = rays_o[idx].reshape(-1, chunk, 3)
+            rd_a = rays_d[idx].reshape(-1, chunk, 3)
+            pending = [(t, self._render_eval_chunk(params, ro_a[t], rd_a[t]))
+                       for t in range(ro_a.shape[0])]
+            fine_rgb = np.concatenate(
+                [np.asarray(o["rgb"]) for _, o in pending])[:active.size]
+            fine_depth = np.concatenate(
+                [np.asarray(o["depth"]) for _, o in pending])[:active.size]
+            fine_acc = np.concatenate(
+                [np.asarray(o["acc"]) for _, o in pending])[:active.size]
+            out_rgb[active] = fine_rgb
+            out_depth[active] = fine_depth
+            out_acc[active] = fine_acc
         return {"rgb": out_rgb, "depth": out_depth, "acc": out_acc}
+
+    def make_frame_renderer(self, H: int, W: int, focal: float,
+                            capacity: float = 0.5, out_dtype=jnp.float32):
+        """ONE jitted program per frame: device-side ray generation from
+        the camera pose, coarse pass over all rays, static-capacity top-K
+        ray compaction by coarse opacity (TPU-native ESS — no host
+        roundtrip), fine render of survivors, scatter-back.
+
+        Designed for tunneled/remote devices where per-dispatch latency
+        and host<->device bandwidth dominate: upload is one (4,4) pose,
+        download one (H*W, 3) image.
+
+        Returns jit(fn)(params, c2w) -> rgb (H*W, 3).
+        """
+        s = dataclasses.replace(self.settings, fast_sampling=False)
+        coarse_s = dataclasses.replace(s, N_importance=0)
+        n = H * W
+        chunk = min(s.ray_chunk, n)
+        n_pad = (-n) % chunk
+        n_full = n + n_pad
+        k = int(n_full * capacity)
+        k = max(chunk, (k // chunk) * chunk)
+        apply_fn = self.apply_fn
+
+        def fn(params, c2w):
+            us, vs = jnp.meshgrid(
+                jnp.arange(W, dtype=jnp.float32) ,
+                jnp.arange(H, dtype=jnp.float32))
+            u = us.ravel()
+            v = vs.ravel()
+            dirs = jnp.stack(
+                [(u - W / 2.0) / focal, -(v - H / 2.0) / focal,
+                 -jnp.ones_like(u)], -1)
+            rays_d = dirs @ c2w[:3, :3].T
+            rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+            ro = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
+            rd = jnp.pad(rays_d, ((0, n_pad), (0, 0)), constant_values=1.0)
+
+            coarse = jax.lax.map(
+                lambda rr: render_rays(apply_fn, params, rr[0], rr[1], None,
+                                       coarse_s, train=False),
+                (ro.reshape(-1, chunk, 3), rd.reshape(-1, chunk, 3)))
+            rgb_c = coarse["rgb"].reshape(n_full, 3)
+            acc_c = coarse["acc"].reshape(n_full)
+            # padded rays get acc 0 -> sorted last
+            order = jnp.argsort(-acc_c)
+            sel = order[:k]
+            fine = jax.lax.map(
+                lambda rr: render_rays(apply_fn, params, rr[0], rr[1], None,
+                                       s, train=False)["rgb"],
+                (ro[sel].reshape(-1, chunk, 3),
+                 rd[sel].reshape(-1, chunk, 3)))
+            rgb = rgb_c.at[sel].set(fine.reshape(k, 3))
+            return rgb[:n].astype(out_dtype)
+
+        return jax.jit(fn)
 
     def render(self, batch, params=None, key=None, train=False):
         """Reference-contract entry: batch has rays_o/rays_d shaped

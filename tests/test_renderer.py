@@ -179,3 +179,32 @@ def test_render_image_fast_matches_dense():
                                np.asarray(dense["rgb"]), atol=2e-3)
     # miss rays are white and were never fine-rendered
     np.testing.assert_allclose(fast["rgb"][5:], 1.0, atol=1e-3)
+
+
+def test_frame_renderer_matches_dense():
+    """Single-dispatch frame renderer (device ray-gen + static top-K
+    compaction) must match the flat dense render."""
+    from nerf_replication_tpu.config import default_cfg
+    from nerf_replication_tpu.datasets.pipeline import rays_for_camera
+
+    cfg = default_cfg()
+    cfg.task_arg.update({"N_samples": 16, "N_importance": 16,
+                         "ray_chunk": 32})
+    field = SphereField()
+
+    class FakeNet:
+        def apply(self, params, pts, viewdirs, model=""):
+            return field.apply(params, pts, viewdirs, model)
+
+    H = W = 12
+    focal = 12.0
+    c2w = jnp.eye(4).at[2, 3].set(4.0)
+    r = Renderer(FakeNet(), cfg=cfg)
+    frame_fn = r.make_frame_renderer(H, W, focal, capacity=0.6)
+    rgb = np.asarray(frame_fn(None, c2w))
+
+    ro, rd = rays_for_camera(c2w, H, W, focal)
+    dense = r.render_rays_batch(None, ro, rd)
+    # active rays match exactly; background rays differ only if capacity
+    # clipped them (here capacity 0.6 > occupancy)
+    np.testing.assert_allclose(rgb, np.asarray(dense["rgb"]), atol=2e-3)
