@@ -126,6 +126,38 @@ def _ess_ert_mask(density_relu, t_coarse, t_fine_idx_below, s: RenderSettings):
     return jnp.where(empty_ray[..., None], False, valid)
 
 
+def fine_stage(
+    apply_fn,
+    params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    t_coarse: jnp.ndarray,
+    w_c: jnp.ndarray,
+    key_cdf,
+    key_noise,
+    s: RenderSettings,
+    train: bool = False,
+):
+    """Hierarchical fine pass given coarse depths + weights: inverse-CDF
+    resample, union sort, fine MLP, composite. Shared by render_rays and
+    the compacted frame renderer (which feeds SAVED coarse weights so the
+    coarse MLP is not re-evaluated for surviving rays)."""
+    bins = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
+    w_mid = jax.lax.stop_gradient(w_c[..., 1:-1])
+    t_fine = sample_pdf(bins, w_mid, s.N_importance, key=key_cdf)
+    t_all = jnp.sort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)
+    pts_all = rays_o[:, None] + rays_d[:, None] * t_all[..., None]
+    raw_f = apply_fn(params, pts_all, viewdirs[:, None], "fine")
+    rgb_f = jax.nn.sigmoid(raw_f[..., :3])
+    noise_key = key_noise if (train and s.raw_noise_std > 0) else None
+    w_f, _, _ = compute_weights(
+        raw_f[..., 3], t_all, raw_noise_std=s.raw_noise_std, key=noise_key)
+    rgb_map, depth_map, acc_map = composite(rgb_f, w_f, t_all, s.white_bkgd)
+    return {"rgb": rgb_map, "depth": depth_map, "acc": acc_map,
+            "raw": raw_f, "t_all": t_all}
+
+
 def render_rays(
     apply_fn,
     params,
@@ -165,10 +197,21 @@ def render_rays(
     )
     rgb_map_c, depth_map_c, acc_map_c = composite(rgb_c, w_c, t_coarse, s.white_bkgd)
 
-    out = {"rgb": rgb_map_c, "depth": depth_map_c, "acc": acc_map_c}
+    out = {"rgb": rgb_map_c, "depth": depth_map_c, "acc": acc_map_c,
+           "weights": w_c}
     if s.N_importance <= 0:
         return out
 
+    if not s.fast_sampling:
+        fine = fine_stage(apply_fn, params, rays_o, rays_d, viewdirs,
+                          t_coarse, w_c, k_cdf if train else None,
+                          k_noise_f, s, train=train)
+        out.update(rgb=fine["rgb"], depth=fine["depth"], acc=fine["acc"],
+                   rgb_coarse=rgb_map_c, depth_coarse=depth_map_c,
+                   acc_coarse=acc_map_c)
+        return out
+
+    # dense-masked ESS/ERT path (reference fast_sampling semantics)
     # hierarchical resampling from the coarse weights; stop_gradient so the
     # sampler positions don't leak gradients (quirk fix, see module doc)
     bins = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
@@ -398,14 +441,28 @@ class Renderer:
                 (ro.reshape(-1, chunk, 3), rd.reshape(-1, chunk, 3)))
             rgb_c = coarse["rgb"].reshape(n_full, 3)
             acc_c = coarse["acc"].reshape(n_full)
+            w_c = coarse["weights"].reshape(n_full, s.N_samples)
             # padded rays get acc 0 -> sorted last
             order = jnp.argsort(-acc_c)
             sel = order[:k]
+
+            # fine pass reuses the SAVED coarse weights: the coarse MLP is
+            # not re-evaluated for survivors (saves N_samples/(N_samples +
+            # N_importance+N_samples) of the survivor FLOPs)
+            t_coarse = stratified_sample(chunk, s.N_samples, s.near, s.far,
+                                         key=None, lindisp=s.lindisp)
+
+            def fine_chunk(rr):
+                cro, crd, cw = rr
+                vd = crd / jnp.linalg.norm(crd, axis=-1, keepdims=True)
+                return fine_stage(apply_fn, params, cro, crd, vd, t_coarse,
+                                  cw, None, None, s, train=False)["rgb"]
+
             fine = jax.lax.map(
-                lambda rr: render_rays(apply_fn, params, rr[0], rr[1], None,
-                                       s, train=False)["rgb"],
+                fine_chunk,
                 (ro[sel].reshape(-1, chunk, 3),
-                 rd[sel].reshape(-1, chunk, 3)))
+                 rd[sel].reshape(-1, chunk, 3),
+                 w_c[sel].reshape(-1, chunk, s.N_samples)))
             rgb = rgb_c.at[sel].set(fine.reshape(k, 3))
             return rgb[:n].astype(out_dtype)
 
