@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ....ops.ray_ops import (
     compute_weights,
     composite,
+    density_activation,
     sample_pdf,
     stratified_sample,
 )
@@ -62,6 +63,7 @@ class RenderSettings:
     weights_threshold: float = 0.25
     ert_threshold: float = 0.45
     ray_chunk: int = 8192  # eval tile size for lax.map over rays
+    density_activation: str = "relu"  # 'softplus' avoids dead-ReLU collapse
 
     @classmethod
     def from_cfg(cls, cfg) -> "RenderSettings":
@@ -80,6 +82,7 @@ class RenderSettings:
             weights_threshold=float(get("weights_threshold", 0.25)),
             ert_threshold=float(get("ert_threshold", 0.45)),
             ray_chunk=int(get("ray_chunk", 8192)),
+            density_activation=str(get("density_activation", "relu")),
         )
 
 
@@ -152,7 +155,8 @@ def fine_stage(
     rgb_f = jax.nn.sigmoid(raw_f[..., :3])
     noise_key = key_noise if (train and s.raw_noise_std > 0) else None
     w_f, _, _ = compute_weights(
-        raw_f[..., 3], t_all, raw_noise_std=s.raw_noise_std, key=noise_key)
+        raw_f[..., 3], t_all, raw_noise_std=s.raw_noise_std, key=noise_key,
+        activation=density_activation(s.density_activation))
     rgb_map, depth_map, acc_map = composite(rgb_f, w_f, t_all, s.white_bkgd)
     return {"rgb": rgb_map, "depth": depth_map, "acc": acc_map,
             "raw": raw_f, "t_all": t_all}
@@ -193,7 +197,8 @@ def render_rays(
     rgb_c = jax.nn.sigmoid(raw_c[..., :3])
     noise_key = k_noise_c if (train and s.raw_noise_std > 0) else None
     w_c, _, _ = compute_weights(
-        raw_c[..., 3], t_coarse, raw_noise_std=s.raw_noise_std, key=noise_key
+        raw_c[..., 3], t_coarse, raw_noise_std=s.raw_noise_std, key=noise_key,
+        activation=density_activation(s.density_activation)
     )
     rgb_map_c, depth_map_c, acc_map_c = composite(rgb_c, w_c, t_coarse, s.white_bkgd)
 
@@ -228,7 +233,7 @@ def render_rays(
     if s.fast_sampling:
         # dense validity masking: invalid points contribute zero density,
         # mirroring the reference's zero-filled scatter (network.py:234-253)
-        density_c = jax.nn.relu(raw_c[..., 3])
+        density_c = density_activation(s.density_activation)(raw_c[..., 3])
         # bin index of each fine sample within the coarse bins
         below = (
             jax.vmap(lambda b, v: jnp.searchsorted(b, v, side="right"))(
@@ -247,7 +252,8 @@ def render_rays(
     rgb_f = jax.nn.sigmoid(raw_f[..., :3])
     noise_key = k_noise_f if (train and s.raw_noise_std > 0) else None
     w_f, _, _ = compute_weights(
-        raw_f[..., 3], t_all, raw_noise_std=s.raw_noise_std, key=noise_key
+        raw_f[..., 3], t_all, raw_noise_std=s.raw_noise_std, key=noise_key,
+        activation=density_activation(s.density_activation)
     )
     rgb_map, depth_map, acc_map = composite(rgb_f, w_f, t_all, s.white_bkgd)
 

@@ -81,6 +81,15 @@ def stratified_sample(
     return t
 
 
+def density_activation(name: str):
+    """'relu' (reference volume_renderer.py:419 parity) or 'softplus'
+    (strictly positive gradient — prevents the dead-ReLU white-background
+    collapse where sigma<0 everywhere kills all gradients)."""
+    if name == "softplus":
+        return jax.nn.softplus
+    return jax.nn.relu
+
+
 def compute_weights(
     sigma: jnp.ndarray,
     t: jnp.ndarray,
@@ -88,6 +97,7 @@ def compute_weights(
     raw_noise_std: float = 0.0,
     key: jax.Array | None = None,
     alpha_eps: float = 1e-10,
+    activation=None,
 ):
     """Compositing weights from raw densities.
 
@@ -111,7 +121,8 @@ def compute_weights(
         delta = delta * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     if raw_noise_std > 0.0 and key is not None:
         sigma = sigma + jax.random.normal(key, sigma.shape) * raw_noise_std
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
+    act = activation if activation is not None else jax.nn.relu
+    alpha = 1.0 - jnp.exp(-act(sigma) * delta)
     # exclusive cumprod of (1 - alpha): T_0 = 1
     trans = jnp.cumprod(1.0 - alpha + alpha_eps, axis=-1)
     trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
