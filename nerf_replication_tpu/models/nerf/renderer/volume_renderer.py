@@ -322,21 +322,28 @@ class Renderer:
         return True
 
     def render_rays_batch(self, params, rays_o, rays_d, key=None, train=False):
-        """Flat (N,3) rays -> output dict. Eval path tiles rays with
-        lax.map at ``settings.ray_chunk`` granularity."""
+        """Flat (N,3) rays -> output dict. Eval tiles rays at
+        ``settings.ray_chunk`` granularity; tiling/padding/assembly run in
+        host numpy so the only device work is the pre-jitted chunk render
+        (eager device ops cost ~1s each through the tunneled backend)."""
+        import numpy as np
+
         if train:
             return self._render_train(params, rays_o, rays_d, key)
+        rays_o = np.asarray(rays_o)
+        rays_d = np.asarray(rays_d)
         n = rays_o.shape[0]
         chunk = min(self.settings.ray_chunk, n)
         n_pad = (-n) % chunk
-        ro = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
-        rd = jnp.pad(rays_d, ((0, n_pad), (0, 0)), constant_values=1.0)
-        ro = ro.reshape(-1, chunk, 3)
-        rd = rd.reshape(-1, chunk, 3)
-        out = jax.lax.map(
-            lambda rr: self._render_eval_chunk(params, rr[0], rr[1]), (ro, rd)
-        )
-        out = jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:])[:n], out)
+        ro = np.pad(rays_o, ((0, n_pad), (0, 0))).reshape(-1, chunk, 3)
+        rd = np.pad(rays_d, ((0, n_pad), (0, 0)),
+                    constant_values=1.0).reshape(-1, chunk, 3)
+        pending = [self._render_eval_chunk(params, ro[t], rd[t])
+                   for t in range(ro.shape[0])]
+        out = {}
+        for k in pending[0]:
+            out[k] = np.concatenate(
+                [np.asarray(p[k]) for p in pending], axis=0)[:n]
         return out
 
     def render_image_fast(self, params, rays_o, rays_d, eps: float = 1e-3):
