@@ -192,9 +192,11 @@ class Trainer:
     # -- validation -------------------------------------------------------------
     def val(self, epoch, data_loader, state_or_params, evaluator=None,
             recorder=None):
+        # unwrap a TrainState dict; note a bare flax params tree also has a
+        # top-level "params" key, so key on opt_state
         params = (state_or_params["params"]
                   if isinstance(state_or_params, dict) and
-                  "params" in state_or_params else state_or_params)
+                  "opt_state" in state_or_params else state_or_params)
         val_stats = {}
         n = 0
         for batch in data_loader:

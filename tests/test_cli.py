@@ -1,0 +1,105 @@
+"""CLI surface smoke tests: run.py staged harness + train.py, driven as
+real subprocesses on CPU against a generated scene (the reference's
+staged bring-up strategy, run.py:187-188)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from nerf_replication_tpu.utils.synthetic_scene import generate_scene
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("cli")
+    generate_scene(str(wd / "data" / "nerf_synthetic"), scene="probe",
+                   H=32, W=32, n_train=3, n_val=1, n_test=1)
+    cfg = wd / "probe.yaml"
+    cfg.write_text(f"""
+parent_cfg: {ROOT}/configs/nerf/lego.yaml
+scene: "probe"
+exp_name: "cli"
+task_arg:
+  N_rays: 64
+  N_samples: 8
+  N_importance: 8
+  ray_chunk: 1024
+  precrop_iters: 0
+network:
+  dtype: "float32"
+  nerf: {{W: 16, D: 2, V_D: 1, skips: [1]}}
+  xyz_encoder: {{type: frequency, input_dim: 3, freq: 4}}
+  dir_encoder: {{type: frequency, input_dim: 3, freq: 2}}
+train_dataset: {{data_root: data/nerf_synthetic, split: train, input_ratio: 1., H: 32, W: 32}}
+test_dataset: {{data_root: data/nerf_synthetic, split: test, input_ratio: 1., H: 32, W: 32}}
+train:
+  epoch: 1
+ep_iter: 5
+save_ep: 1
+eval_ep: 10
+save_latest_ep: 1
+log_interval: 100
+""")
+    return wd
+
+
+def _run(args, wd, timeout=300):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ROOT
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import runpy, sys; sys.argv = %r;"
+        "runpy.run_path(%r, run_name='__main__')"
+        % (args, os.path.join(ROOT, args[0]))
+    )
+    return subprocess.run([sys.executable, "-c", code], cwd=str(wd),
+                          capture_output=True, text=True, timeout=timeout,
+                          env=env)
+
+
+def test_run_dataset(workdir):
+    r = _run(["run.py", "--type", "dataset", "--cfg_file", "probe.yaml"],
+             workdir)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "rays_o shape:" in r.stdout
+
+
+def test_run_input(workdir):
+    r = _run(["run.py", "--type", "input", "--cfg_file", "probe.yaml"],
+             workdir)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "render ok" in r.stdout
+
+
+def test_train_then_network_then_evaluate(workdir):
+    r = _run(["train.py", "--cfg_file", "probe.yaml"], workdir, timeout=400)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "epoch 0" in r.stdout
+
+    r = _run(["run.py", "--type", "network", "--cfg_file", "probe.yaml"],
+             workdir)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "psnr" in r.stdout
+
+    r = _run(["run.py", "--type", "evaluate", "--cfg_file", "probe.yaml"],
+             workdir)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "fps:" in r.stdout
+    assert "'ssim'" in r.stdout
+
+    r = _run(["run.py", "--type", "mesh", "--cfg_file", "probe.yaml",
+              "resolution", "24", "level", "1.0"], workdir)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "mesh written" in r.stdout
+
+
+def test_train_test_mode(workdir):
+    r = _run(["train.py", "--test", "--cfg_file", "probe.yaml"], workdir)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "val:" in r.stdout
