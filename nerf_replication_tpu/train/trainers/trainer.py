@@ -124,14 +124,21 @@ class Trainer:
         return state
 
     # -- TPU fast path: device-resident pipeline -------------------------------
+    # steps per compiled sub-scan: long donated scans of gather/scatter-
+    # heavy steps (hash-grid encoders) can crash the TPU worker; chunking
+    # epochs into sub-scans is equally fast (one dispatch per 50 steps)
+    # and keeps the compiled program small.
+    SCAN_CHUNK = 50
+
     def train_device(self, epoch, pipeline, state, recorder, key=None):
-        """One epoch = ONE compiled lax.scan of ep_iter fused
-        sample->render->grad->update steps."""
+        """One epoch = ep_iter fused sample->render->grad->update steps,
+        dispatched as compiled lax.scan chunks."""
         n_steps = self.ep_iter if self.ep_iter > 0 else 500
         if key is None:
             key = jax.random.key(int(self.cfg.get("seed", 0)))
         key = jax.random.fold_in(key, epoch)
 
+        chunk = min(self.SCAN_CHUNK, n_steps)
         scan_fn = self._scan_cache.get(id(pipeline))
         if scan_fn is None:
             if self.mesh is not None and len(self.mesh.devices.ravel()) > 1:
@@ -141,23 +148,29 @@ class Trainer:
                 from ...parallel.mesh import make_dp_epoch_runner
 
                 scan_fn = make_dp_epoch_runner(self, pipeline, self.mesh,
-                                               n_steps)
+                                               chunk)
             else:
                 def one_step(state, step_key):
                     k_data, k_render = jax.random.split(step_key)
                     batch = pipeline.sample(k_data, state["step"])
                     return self._train_step_inner(state, batch, k_render)
 
-                def run_epoch(state, key):
-                    keys = jax.random.split(key, n_steps)
+                def run_chunk(state, key):
+                    keys = jax.random.split(key, chunk)
                     return jax.lax.scan(one_step, state, keys)
 
-                scan_fn = jax.jit(run_epoch, donate_argnums=0)
+                scan_fn = jax.jit(run_chunk)
             self._scan_cache[id(pipeline)] = scan_fn
 
         t0 = time.time()
-        state, stats = scan_fn(state, key)
-        jax.block_until_ready(state["params"])
+        stats = None
+        done = 0
+        while done < n_steps:
+            state, stats = scan_fn(state, jax.random.fold_in(key, done))
+            done += chunk
+        # host fetch as the completion fence (block_until_ready does not
+        # reliably block on tunneled backends)
+        stats = {k: np.asarray(v) for k, v in stats.items()}
         wall = time.time() - t0
 
         if self.process_index == 0:
