@@ -108,7 +108,6 @@ def run_network():
 
 
 def run_evaluate():
-    import jax
 
     from nerf_replication_tpu.datasets import make_data_loader
     from nerf_replication_tpu.evaluators import make_evaluator
