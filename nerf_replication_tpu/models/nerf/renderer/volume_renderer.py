@@ -202,9 +202,12 @@ def render_rays(
     )
     rgb_map_c, depth_map_c, acc_map_c = composite(rgb_c, w_c, t_coarse, s.white_bkgd)
 
-    out = {"rgb": rgb_map_c, "depth": depth_map_c, "acc": acc_map_c,
-           "weights": w_c}
+    out = {"rgb": rgb_map_c, "depth": depth_map_c, "acc": acc_map_c}
     if s.N_importance <= 0:
+        # coarse-only callers (the compacted frame renderer) reuse the
+        # weights for the fine stage; hierarchical outputs omit them to
+        # keep eval host transfers small
+        out["weights"] = w_c
         return out
 
     if not s.fast_sampling:
