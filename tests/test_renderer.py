@@ -208,3 +208,23 @@ def test_frame_renderer_matches_dense():
     # active rays match exactly; background rays differ only if capacity
     # clipped them (here capacity 0.6 > occupancy)
     np.testing.assert_allclose(rgb, np.asarray(dense["rgb"]), atol=2e-3)
+
+
+def test_golden_render_values():
+    """Golden regression pin: exact renderer numerics for a fixed analytic
+    scene (catches silent changes to sampling/CDF/compositing math)."""
+    field = SphereField(radius=1.0, density=50.0)
+    s = RenderSettings(N_samples=32, N_importance=32)
+    o = jnp.array([[0.0, 0.0, 4.0], [0.5, 0.0, 4.0], [2.0, 2.0, 4.0]])
+    d = jnp.array([[0.0, 0.0, -1.0], [-0.1, 0.05, -1.0], [0.0, 0.0, -1.0]])
+    out = render_rays(_apply(field), None, o, d, None, s, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]),
+        [[9.9995458e-01, 4.5397876e-05, 4.5397876e-05],
+         [9.9995458e-01, 4.5397868e-05, 4.5397868e-05],
+         [1.0, 1.0, 1.0]], rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(out["depth"]), [3.0189638, 3.0495806, 0.0],
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out["acc"]), [1.0, 1.0, 0.0], atol=1e-6)
