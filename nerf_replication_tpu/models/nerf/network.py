@@ -136,6 +136,14 @@ def init_params(net: Network, key, dtype=jnp.float32):
 
 def make_network(cfg: CN) -> Network:
     c = cfg.network
+    # time-conditioned encoders read cfg.num_frames globally in the
+    # reference (e.g. hashencoder/hashgrid.py:252); propagate it into the
+    # encoder sub-configs unless they set their own
+    if "num_frames" in cfg:
+        for key in ("xyz_encoder", "dir_encoder"):
+            enc = c.get(key)
+            if enc is not None and "num_frames" not in enc:
+                enc["num_frames"] = cfg.num_frames
     use_viewdirs = bool(cfg.get("task_arg", {}).get("use_viewdirs", True))
     dtype = jnp.dtype(c.get("dtype", "bfloat16"))
     mk = lambda: NeRFMLP(

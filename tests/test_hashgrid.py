@@ -184,3 +184,21 @@ def test_hashgrid_trains_to_fit_field():
         if i == 0:
             loss0 = float(loss)
     assert float(loss) < 0.05 * loss0, (loss0, float(loss))
+
+
+def test_global_num_frames_propagates():
+    """Reference reads cfg.num_frames globally (hashencoder/hashgrid.py:252);
+    make_network must inject it into time-conditioned encoder configs."""
+    from nerf_replication_tpu.config import default_cfg
+    from nerf_replication_tpu.models import make_network
+
+    cfg = default_cfg()
+    cfg.num_frames = 7
+    cfg.network.nerf = {"D": 2, "W": 32, "V_D": 1, "skips": [1]}
+    cfg.network.xyz_encoder = CN({
+        "type": "cuda_hashgrid_latent", "num_levels": 2, "level_dim": 2,
+        "base_resolution": 4, "log2_hashmap_size": 10,
+        "bounds": [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]})
+    cfg.network.dir_encoder = {"type": "frequency", "input_dim": 3, "freq": 2}
+    net = make_network(cfg)
+    assert net.xyz_encoder.num_frames == 7
