@@ -194,3 +194,18 @@ def test_train_resume_after_interrupt(scene_root, tmp_path):
     state = train_cli.train(cfg2, make_network(cfg2))
     # resumed: total steps = 2 epochs x 10 iters
     assert int(state["step"]) == 20
+
+
+def test_pretrain_roundtrip(tmp_path):
+    """Warm-start capability (reference net_utils.py:429-457):
+    save_pretrain/load_pretrain + train.py wiring via cfg.pretrain."""
+    from nerf_replication_tpu.utils.ckpt_utils import (
+        load_pretrain, save_pretrain)
+
+    params = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    d = str(tmp_path / "pre")
+    save_pretrain(params, "nerf-task", model_dir=d)
+    loaded = load_pretrain(d)
+    np.testing.assert_array_equal(loaded["params"]["w"],
+                                  params["params"]["w"])
+    assert load_pretrain(str(tmp_path / "missing")) is None
