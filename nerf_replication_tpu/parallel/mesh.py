@@ -61,8 +61,6 @@ def make_dp_train_step(train_step_fn, mesh: Mesh):
     XLA turns the global loss mean into a psum over ICI."""
     rep = replicated(mesh)
     dat = data_sharded(mesh)
-    state_sh = jax.tree.map(lambda _: rep, jax.eval_shape(lambda: None)) \
-        if False else rep  # states are uniform: replicate everything
     return jax.jit(
         train_step_fn,
         in_shardings=(rep, dat, rep),
