@@ -39,7 +39,10 @@ def default_cfg() -> CN:
 
     c.scene = "lego"
     c.pretrain_path = ""
-    c.save_result = False
+    # default ON: the reference evaluator dumps view PNGs unconditionally
+    # (src/evaluators/nerf.py:51-62 never checks its dead save_result
+    # flag); we keep the knob but match the observable behavior
+    c.save_result = True
     c.clear_result = False
     c.save_tag = "default"
 

@@ -141,17 +141,44 @@ def fine_stage(
     key_noise,
     s: RenderSettings,
     train: bool = False,
+    density_coarse: jnp.ndarray | None = None,
 ):
     """Hierarchical fine pass given coarse depths + weights: inverse-CDF
     resample, union sort, fine MLP, composite. Shared by render_rays and
     the compacted frame renderer (which feeds SAVED coarse weights so the
-    coarse MLP is not re-evaluated for surviving rays)."""
+    coarse MLP is not re-evaluated for surviving rays).
+
+    ``density_coarse`` (activated coarse densities, (N, N_samples))
+    switches on the dense ESS/ERT masking of the reference's
+    ``fast_sampling`` path: invalid fine samples contribute zero density,
+    mirroring the reference's zero-filled scatter (network.py:234-253).
+    """
     bins = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
     w_mid = jax.lax.stop_gradient(w_c[..., 1:-1])
     t_fine = sample_pdf(bins, w_mid, s.N_importance, key=key_cdf)
-    t_all = jnp.sort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)
+    t_cat = jnp.concatenate([t_coarse, t_fine], axis=-1)
+    if density_coarse is None:
+        t_all = jnp.sort(t_cat, axis=-1)
+        valid_sorted = None
+    else:
+        # masked path needs the permutation to sort the validity flags
+        # alongside the depths (argsort+gather; the unmasked hot path
+        # keeps the cheaper jnp.sort)
+        order = jnp.argsort(t_cat, axis=-1)
+        t_all = jnp.take_along_axis(t_cat, order, axis=-1)
+        below = (
+            jax.vmap(lambda b, v: jnp.searchsorted(b, v, side="right"))(
+                bins, t_fine)
+            - 1
+        )
+        valid_f = _ess_ert_mask(density_coarse, t_coarse, below, s)
+        valid_all = jnp.concatenate(
+            [jnp.ones_like(t_coarse, dtype=bool), valid_f], axis=-1)
+        valid_sorted = jnp.take_along_axis(valid_all, order, axis=-1)
     pts_all = rays_o[:, None] + rays_d[:, None] * t_all[..., None]
     raw_f = apply_fn(params, pts_all, viewdirs[:, None], "fine")
+    if valid_sorted is not None:
+        raw_f = jnp.where(valid_sorted[..., None], raw_f, 0.0)
     rgb_f = jax.nn.sigmoid(raw_f[..., :3])
     noise_key = key_noise if (train and s.raw_noise_std > 0) else None
     w_f, _, _ = compute_weights(
@@ -210,60 +237,18 @@ def render_rays(
         out["weights"] = w_c
         return out
 
-    if not s.fast_sampling:
-        fine = fine_stage(apply_fn, params, rays_o, rays_d, viewdirs,
-                          t_coarse, w_c, k_cdf if train else None,
-                          k_noise_f, s, train=train)
-        out.update(rgb=fine["rgb"], depth=fine["depth"], acc=fine["acc"],
-                   rgb_coarse=rgb_map_c, depth_coarse=depth_map_c,
-                   acc_coarse=acc_map_c)
-        return out
-
-    # dense-masked ESS/ERT path (reference fast_sampling semantics)
-    # hierarchical resampling from the coarse weights; stop_gradient so the
-    # sampler positions don't leak gradients (quirk fix, see module doc)
-    bins = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
-    w_mid = jax.lax.stop_gradient(w_c[..., 1:-1])
-    t_fine = sample_pdf(
-        bins, w_mid, s.N_importance, key=k_cdf if train else None
-    )
-
-    t_all = jnp.sort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)
-    pts_all = rays_o[:, None] + rays_d[:, None] * t_all[..., None]
-
-    raw_f = apply_fn(params, pts_all, viewdirs[:, None], "fine")
-
-    if s.fast_sampling:
-        # dense validity masking: invalid points contribute zero density,
-        # mirroring the reference's zero-filled scatter (network.py:234-253)
-        density_c = density_activation(s.density_activation)(raw_c[..., 3])
-        # bin index of each fine sample within the coarse bins
-        below = (
-            jax.vmap(lambda b, v: jnp.searchsorted(b, v, side="right"))(
-                bins, t_fine
-            )
-            - 1
-        )
-        valid_f = _ess_ert_mask(density_c, t_coarse, below, s)
-        valid_all = jnp.concatenate(
-            [jnp.ones_like(t_coarse, dtype=bool), valid_f], axis=-1
-        )
-        order = jnp.argsort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)
-        valid_sorted = jnp.take_along_axis(valid_all, order, axis=-1)
-        raw_f = jnp.where(valid_sorted[..., None], raw_f, 0.0)
-
-    rgb_f = jax.nn.sigmoid(raw_f[..., :3])
-    noise_key = k_noise_f if (train and s.raw_noise_std > 0) else None
-    w_f, _, _ = compute_weights(
-        raw_f[..., 3], t_all, raw_noise_std=s.raw_noise_std, key=noise_key,
-        activation=density_activation(s.density_activation)
-    )
-    rgb_map, depth_map, acc_map = composite(rgb_f, w_f, t_all, s.white_bkgd)
-
-    out.update(
-        rgb=rgb_map, depth=depth_map, acc=acc_map,
-        rgb_coarse=rgb_map_c, depth_coarse=depth_map_c, acc_coarse=acc_map_c,
-    )
+    # fast_sampling switches on the dense ESS/ERT masking inside
+    # fine_stage (reference fast_sampling semantics; importance weights
+    # are stop_gradient-ed there — quirk fix, see module doc)
+    density_c = (
+        density_activation(s.density_activation)(raw_c[..., 3])
+        if s.fast_sampling else None)
+    fine = fine_stage(apply_fn, params, rays_o, rays_d, viewdirs,
+                      t_coarse, w_c, k_cdf if train else None,
+                      k_noise_f, s, train=train, density_coarse=density_c)
+    out.update(rgb=fine["rgb"], depth=fine["depth"], acc=fine["acc"],
+               rgb_coarse=rgb_map_c, depth_coarse=depth_map_c,
+               acc_coarse=acc_map_c)
     return out
 
 
@@ -272,7 +257,8 @@ class Renderer:
     (reference volume_renderer.py:290-432). ``net`` is the Flax Network;
     params are passed per call (functional) or bound via ``bind_params``."""
 
-    def __init__(self, net, cfg=None, settings: RenderSettings | None = None):
+    def __init__(self, net, cfg=None, settings: RenderSettings | None = None,
+                 mesh="auto"):
         self.net = net
         self.settings = settings or (
             RenderSettings.from_cfg(cfg) if cfg is not None else RenderSettings()
@@ -286,19 +272,48 @@ class Renderer:
         self._render_train = jax.jit(
             partial(render_rays, apply_fn, s=self.settings, train=True)
         )
+        # multi-device: shard eval ray chunks over the data mesh (params
+        # replicated) — the reference shards eval views across ranks via
+        # DistributedSampler (src/datasets/samplers.py:75-131); sharding
+        # WITHIN the image uses all chips even for a single view
+        if mesh == "auto":
+            mesh = None
+            if len(jax.devices()) > 1:
+                from ....parallel.mesh import make_mesh
+
+                mesh = make_mesh(cfg)
+        self.mesh = mesh
+        self._build_eval_chunk_fns(apply_fn)
+
+    def _build_eval_chunk_fns(self, apply_fn):
         # eval chunks run WITHOUT the dense per-sample masks: at eval time
         # the ESS/ERT capability is realised by ray compaction
         # (render_image_fast), so surviving rays match the dense render
         # bit-for-bit
         eval_settings = dataclasses.replace(self.settings, fast_sampling=False)
-        self._render_eval_chunk = jax.jit(
-            partial(render_rays, apply_fn, key=None, s=eval_settings,
-                    train=False)
-        )
         coarse_only = dataclasses.replace(eval_settings, N_importance=0)
-        self._render_coarse_chunk = jax.jit(
-            partial(render_rays, apply_fn, key=None, s=coarse_only, train=False)
-        )
+        fine_fn = partial(render_rays, apply_fn, key=None, s=eval_settings,
+                          train=False)
+        coarse_fn = partial(render_rays, apply_fn, key=None, s=coarse_only,
+                            train=False)
+        if self.mesh is not None and len(self.mesh.devices.ravel()) > 1:
+            from ....parallel.mesh import make_dp_eval_render
+
+            self._render_eval_chunk = make_dp_eval_render(fine_fn, self.mesh)
+            self._render_coarse_chunk = make_dp_eval_render(
+                coarse_fn, self.mesh)
+        else:
+            self._render_eval_chunk = jax.jit(fine_fn)
+            self._render_coarse_chunk = jax.jit(coarse_fn)
+
+    def _eval_chunk_size(self, n: int) -> int:
+        """Eval tile size: ``ray_chunk`` capped by n, rounded up to a
+        multiple of the mesh size so sharded chunks split evenly."""
+        chunk = min(self.settings.ray_chunk, n)
+        if self.mesh is not None:
+            n_dev = len(self.mesh.devices.ravel())
+            chunk = -(-chunk // n_dev) * n_dev
+        return chunk
 
     def bind_params(self, params):
         self._params = params
@@ -314,14 +329,7 @@ class Renderer:
         fused = make_fused_apply(self.net, params)
         if fused is None:
             return False
-        eval_settings = dataclasses.replace(self.settings, fast_sampling=False)
-        self._render_eval_chunk = jax.jit(
-            partial(render_rays, fused, key=None, s=eval_settings,
-                    train=False))
-        coarse_only = dataclasses.replace(eval_settings, N_importance=0)
-        self._render_coarse_chunk = jax.jit(
-            partial(render_rays, fused, key=None, s=coarse_only,
-                    train=False))
+        self._build_eval_chunk_fns(fused)
         return True
 
     def render_rays_batch(self, params, rays_o, rays_d, key=None, train=False):
@@ -336,7 +344,7 @@ class Renderer:
         rays_o = np.asarray(rays_o)
         rays_d = np.asarray(rays_d)
         n = rays_o.shape[0]
-        chunk = min(self.settings.ray_chunk, n)
+        chunk = self._eval_chunk_size(n)
         n_pad = (-n) % chunk
         ro = np.pad(rays_o, ((0, n_pad), (0, 0))).reshape(-1, chunk, 3)
         rd = np.pad(rays_d, ((0, n_pad), (0, 0)),
@@ -373,7 +381,7 @@ class Renderer:
         rays_o = np.asarray(rays_o)
         rays_d = np.asarray(rays_d)
         n = rays_o.shape[0]
-        chunk = min(self.settings.ray_chunk, n)
+        chunk = self._eval_chunk_size(n)
         n_pad = (-n) % chunk
         ro = np.pad(rays_o, ((0, n_pad), (0, 0))).reshape(-1, chunk, 3)
         rd = np.pad(rays_d, ((0, n_pad), (0, 0)),

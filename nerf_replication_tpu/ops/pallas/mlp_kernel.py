@@ -196,12 +196,25 @@ def make_fused_apply(net, params):
     mlps = {m: params["params"].get(m) for m in ("coarse", "fine")}
     if any(v is None for v in mlps.values()):
         return None
+    # the kernel covers exactly the canonical reference architecture:
+    # width 256, ONE skip concat, ONE view-conditioned layer. Anything
+    # else (e.g. V_D: 2 adds views_1, which packing would silently drop)
+    # must fall back to the XLA path.
+    for m in ("coarse", "fine"):
+        mlp = getattr(net, m, None)
+        if mlp is None or mlp.width != 256 or len(tuple(mlp.skips)) != 1 \
+                or getattr(mlp, "view_depth", 1) != 1 \
+                or not mlp.use_viewdirs:
+            return None
+    depth = net.coarse.depth
+    skips = tuple(net.coarse.skips)
     xyz_enc = net.xyz_encoder
     dir_enc = net.dir_encoder
     try:
         in_dim = xyz_enc.output_dim
         view_dim = dir_enc.output_dim
-        packed = {m: pack_nerf_params(mlps[m], in_dim, view_dim)
+        packed = {m: pack_nerf_params(mlps[m], in_dim, view_dim,
+                                      depth=depth, skips=skips)
                   for m in ("coarse", "fine")}
     except (AssertionError, KeyError):
         return None

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 
-def get_rays(uv: jnp.ndarray, K_inv: jnp.ndarray, c2w: jnp.ndarray):
+def get_rays(uv: jnp.ndarray, K_inv: jnp.ndarray, c2w: jnp.ndarray,
+             normalize: bool = True):
     """World-space rays through pixel centers.
 
     Args:
@@ -33,10 +34,12 @@ def get_rays(uv: jnp.ndarray, K_inv: jnp.ndarray, c2w: jnp.ndarray):
       K_inv: (3, 3) inverse intrinsics.
       c2w: (3, 4) or (4, 4) camera-to-world (OpenGL convention: camera
         looks along -z, as in the Blender transforms.json files).
+      normalize: unit-length directions (default) — the reference
+        parametrisation (blender.py:126 ``rays_d /= norm``) and what every
+        ray generator in this framework uses.
 
     Returns:
-      (rays_o, rays_d): each (..., 3). Directions are NOT normalised, to
-      match the reference ray parametrisation (blender.py:120-127).
+      (rays_o, rays_d): each (..., 3).
     """
     x, y = uv[..., 0], uv[..., 1]
     # camera-frame directions: (x - cx)/fx, -(y - cy)/fy, -1
@@ -47,6 +50,8 @@ def get_rays(uv: jnp.ndarray, K_inv: jnp.ndarray, c2w: jnp.ndarray):
     R = c2w[:3, :3]
     t = c2w[:3, 3]
     rays_d = dirs @ R.T
+    if normalize:
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     rays_o = jnp.broadcast_to(t, rays_d.shape)
     return rays_o, rays_d
 

@@ -138,35 +138,40 @@ class Trainer:
             key = jax.random.key(int(self.cfg.get("seed", 0)))
         key = jax.random.fold_in(key, epoch)
 
-        chunk = min(self.SCAN_CHUNK, n_steps)
-        scan_fn = self._scan_cache.get(id(pipeline))
-        if scan_fn is None:
-            if self.mesh is not None and len(self.mesh.devices.ravel()) > 1:
-                # data-parallel: params replicated, per-step ray batch
-                # sharding-constrained over the data axis (XLA inserts the
-                # gradient reduction over ICI)
-                from ...parallel.mesh import make_dp_epoch_runner
+        def get_scan_fn(chunk):
+            scan_fn = self._scan_cache.get((id(pipeline), chunk))
+            if scan_fn is None:
+                if self.mesh is not None and len(self.mesh.devices.ravel()) > 1:
+                    # data-parallel: params replicated, per-step ray batch
+                    # sharding-constrained over the data axis (XLA inserts
+                    # the gradient reduction over ICI)
+                    from ...parallel.mesh import make_dp_epoch_runner
 
-                scan_fn = make_dp_epoch_runner(self, pipeline, self.mesh,
-                                               chunk)
-            else:
-                def one_step(state, step_key):
-                    k_data, k_render = jax.random.split(step_key)
-                    batch = pipeline.sample(k_data, state["step"])
-                    return self._train_step_inner(state, batch, k_render)
+                    scan_fn = make_dp_epoch_runner(self, pipeline, self.mesh,
+                                                   chunk)
+                else:
+                    def one_step(state, step_key):
+                        k_data, k_render = jax.random.split(step_key)
+                        batch = pipeline.sample(k_data, state["step"])
+                        return self._train_step_inner(state, batch, k_render)
 
-                def run_chunk(state, key):
-                    keys = jax.random.split(key, chunk)
-                    return jax.lax.scan(one_step, state, keys)
+                    def run_chunk(state, key):
+                        keys = jax.random.split(key, chunk)
+                        return jax.lax.scan(one_step, state, keys)
 
-                scan_fn = jax.jit(run_chunk)
-            self._scan_cache[id(pipeline)] = scan_fn
+                    scan_fn = jax.jit(run_chunk)
+                self._scan_cache[(id(pipeline), chunk)] = scan_fn
+            return scan_fn
 
         t0 = time.time()
         stats = None
         done = 0
         while done < n_steps:
-            state, stats = scan_fn(state, jax.random.fold_in(key, done))
+            # final partial chunk runs EXACTLY the remaining steps (a short
+            # tail must not silently over-step the optimizer/lr schedule)
+            chunk = min(self.SCAN_CHUNK, n_steps - done)
+            state, stats = get_scan_fn(chunk)(
+                state, jax.random.fold_in(key, done))
             done += chunk
         # host fetch as the completion fence (block_until_ready does not
         # reliably block on tunneled backends)

@@ -29,6 +29,10 @@ import sys
 import jax
 import numpy as np
 
+# bump when the payload schema changes; loaders accept <= CKPT_VERSION
+# (version 0 = round-1 checkpoints without the tag)
+CKPT_VERSION = 1
+
 
 def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
@@ -39,6 +43,7 @@ def save_model(net_params, opt_state, scheduler_state, recorder_state,
                keep: int = 5):
     os.makedirs(model_dir, exist_ok=True)
     payload = {
+        "version": CKPT_VERSION,
         "net": _to_host(net_params),
         "optim": _to_host(opt_state),
         "scheduler": scheduler_state,
@@ -76,19 +81,64 @@ def _pick_checkpoint(model_dir: str, epoch: int = -1) -> str | None:
     return os.path.join(model_dir, f"{numbered[-1]}.ckpt") if numbered else None
 
 
+def _candidate_checkpoints(model_dir: str, epoch: int = -1) -> list[str]:
+    """Preferred checkpoint first, then numbered epochs newest-first as
+    corruption fallbacks (a torn write to latest.ckpt must not lose the
+    run — atomic rename protects one file, not a half-written disk)."""
+    first = _pick_checkpoint(model_dir, epoch)
+    if first is None:
+        return []
+    candidates = [first]
+    if epoch == -1 and os.path.isdir(model_dir):
+        numbered = sorted(
+            (int(p.split(".")[0]) for p in os.listdir(model_dir)
+             if p.endswith(".ckpt") and p.split(".")[0].isdigit()),
+            reverse=True)
+        for e in numbered:
+            path = os.path.join(model_dir, f"{e}.ckpt")
+            if path != first:
+                candidates.append(path)
+    return candidates
+
+
+def _load_payload(path: str) -> dict:
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if not isinstance(payload, dict) or "net" not in payload:
+        raise ValueError(f"malformed checkpoint payload: {path}")
+    version = int(payload.get("version", 0))
+    if version > CKPT_VERSION:
+        raise ValueError(
+            f"checkpoint {path} has version {version} > supported "
+            f"{CKPT_VERSION}")
+    return payload
+
+
+def _load_first_valid(model_dir: str, epoch: int = -1):
+    for path in _candidate_checkpoints(model_dir, epoch):
+        try:
+            payload = _load_payload(path)
+        except Exception as e:  # corrupt/truncated/foreign -> next newest
+            print(f"checkpoint {path} unreadable ({e}); trying previous",
+                  file=sys.stderr)
+            continue
+        return path, payload
+    return None, None
+
+
 def load_model(model_dir: str, resume: bool = True, epoch: int = -1):
     """Returns the checkpoint payload dict, or None (fresh start).
-    resume=False wipes the directory (reference net_utils.py:289-290)."""
+    resume=False wipes the directory (reference net_utils.py:289-290).
+    A corrupt latest.ckpt falls back to the newest readable numbered
+    checkpoint."""
     if not resume:
         if os.path.exists(model_dir):
             print(f"remove contents of directory {model_dir}")
             shutil.rmtree(model_dir, ignore_errors=True)
         return None
-    path = _pick_checkpoint(model_dir, epoch)
-    if path is None:
+    path, payload = _load_first_valid(model_dir, epoch)
+    if payload is None:
         return None
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
     print(f"load model: {path}")
     return payload
 
@@ -115,13 +165,11 @@ def load_network(model_dir: str, resume: bool = True, epoch: int = -1,
     382-415). Returns the params pytree or None."""
     if not resume:
         return None
-    path = _pick_checkpoint(model_dir, epoch)
-    if path is None:
+    path, payload = _load_first_valid(model_dir, epoch)
+    if payload is None:
         if strict:
-            raise FileNotFoundError(f"no checkpoint under {model_dir}")
+            raise FileNotFoundError(f"no readable checkpoint under {model_dir}")
         return None
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
     print(f"load network: {path}")
     net = payload["net"]
     if remove_prefix or add_prefix:

@@ -99,9 +99,14 @@ def read_cameras_text(path: str) -> dict[int, Camera]:
 
 def read_images_text(path: str) -> dict[int, Image]:
     imgs = {}
+    # pair lines POSITIONALLY: COLMAP writes an EMPTY POINTS2D line for
+    # images with zero observations, so only comments may be filtered —
+    # dropping blank lines would desynchronise the header/points pairing
+    # (reference read_write_model.py semantics)
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
+        lines = [ln.strip() for ln in f if not ln.lstrip().startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()  # trailing newline at EOF is not a POINTS2D line
     for i in range(0, len(lines), 2):
         parts = lines[i].split()
         pts = lines[i + 1].split() if i + 1 < len(lines) else []

@@ -97,3 +97,23 @@ def test_colmap2nerf_pose_conversion(tmp_path):
     c2w = np.linalg.inv(w2c)
     c2w[:3, :3] = c2w[:3, :3] @ np.diag([1.0, -1.0, -1.0])
     np.testing.assert_allclose(M, c2w, atol=1e-8)
+
+
+def test_images_text_zero_observation_image(tmp_path):
+    """COLMAP writes an EMPTY POINTS2D line for images with no points;
+    the positional pairing must not desynchronise (ADVICE r1)."""
+    cams, imgs = _fixture()
+    imgs[5] = Image(5, imgs[2].qvec, np.array([1.0, 2.0, 3.0]), 1,
+                    "r_1.png", np.zeros((0, 2)),
+                    np.zeros((0,), dtype=np.int64))
+    write_images_text(imgs, str(tmp_path / "images.txt"))
+    imgs2 = read_images_text(str(tmp_path / "images.txt"))
+    assert set(imgs2) == {2, 5}
+    assert imgs2[5].xys.shape == (0, 2)
+    np.testing.assert_allclose(imgs2[2].xys, imgs[2].xys)
+    # zero-obs image FIRST (followed by a populated one) must also pair
+    order = {5: imgs[5], 2: imgs[2]}
+    write_images_text(order, str(tmp_path / "images2.txt"))
+    imgs3 = read_images_text(str(tmp_path / "images2.txt"))
+    assert imgs3[5].xys.shape == (0, 2)
+    np.testing.assert_allclose(imgs3[2].xys, imgs[2].xys)

@@ -153,3 +153,20 @@ def test_ops_are_jittable_and_grad_safe():
     sigma = jnp.ones((4, 16))
     g = jax.jit(jax.grad(loss))(sigma)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_get_rays_directions_unit_norm():
+    """get_rays normalises directions like the reference (blender.py:126)
+    and every other ray generator in the framework (ADVICE r1 medium)."""
+    H = W = 8
+    f = 3.0
+    K_inv = jnp.linalg.inv(
+        jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]]))
+    c2w = jnp.eye(4)
+    uv = jnp.stack(jnp.meshgrid(jnp.arange(W * 1.0),
+                                jnp.arange(H * 1.0)), -1).reshape(-1, 2)
+    _, d = get_rays(uv, K_inv, c2w)
+    np.testing.assert_allclose(jnp.linalg.norm(d, axis=-1), 1.0, atol=1e-6)
+    _, d_raw = get_rays(uv, K_inv, c2w, normalize=False)
+    corner = jnp.linalg.norm(d_raw, axis=-1)
+    assert float(corner.max()) > 1.5  # un-normalised corners are longer

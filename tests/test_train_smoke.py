@@ -209,3 +209,91 @@ def test_pretrain_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded["params"]["w"],
                                   params["params"]["w"])
     assert load_pretrain(str(tmp_path / "missing")) is None
+
+
+def test_checkpoint_corruption_fallback(tmp_path):
+    """A torn/corrupt latest.ckpt falls back to the newest readable
+    numbered checkpoint; future-versioned files are rejected the same
+    way (VERDICT r1 weak #8)."""
+    from nerf_replication_tpu.utils.ckpt_utils import (
+        CKPT_VERSION, load_model, load_network, save_model)
+
+    params = {"params": {"w": np.float32(1.0)}}
+    d = str(tmp_path / "m")
+    for epoch in (3, 4):
+        save_model({"params": {"w": np.float32(epoch)}}, {}, {}, {},
+                   epoch, d)
+    save_model(params, {}, {}, {}, 5, d, latest=True)
+
+    payload = load_model(d, resume=True)
+    assert payload["version"] == CKPT_VERSION and payload["epoch"] == 5
+
+    # corrupt latest -> newest numbered (4) wins
+    with open(os.path.join(d, "latest.ckpt"), "wb") as f:
+        f.write(b"not a pickle")
+    payload = load_model(d, resume=True)
+    assert payload["epoch"] == 4
+    net = load_network(d, resume=True)
+    assert float(net["params"]["w"]) == 4.0
+
+    # corrupt 4.ckpt too -> 3 wins
+    with open(os.path.join(d, "4.ckpt"), "wb") as f:
+        f.write(b"\x00" * 10)
+    assert load_model(d, resume=True)["epoch"] == 3
+
+    # a future-version checkpoint is treated as unreadable
+    import pickle
+    with open(os.path.join(d, "latest.ckpt"), "wb") as f:
+        pickle.dump({"version": CKPT_VERSION + 1, "net": {}, "epoch": 9}, f)
+    assert load_model(d, resume=True)["epoch"] == 3
+
+    # everything corrupt -> None / strict raises
+    for name in ("3.ckpt", "latest.ckpt"):
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"x")
+    assert load_model(d, resume=True) is None
+    try:
+        load_network(d, resume=True, strict=True)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+
+
+def _tiny_nerf_cfg():
+    cfg = default_cfg()
+    cfg.task_arg.update({"N_rays": 16, "N_samples": 4, "N_importance": 4,
+                         "white_bkgd": True})
+    cfg.network.nerf = {"D": 2, "W": 16, "V_D": 1, "skips": [1]}
+    cfg.network.xyz_encoder = {"type": "frequency", "input_dim": 3, "freq": 2}
+    cfg.network.dir_encoder = {"type": "frequency", "input_dim": 3, "freq": 1}
+    cfg.network.dtype = "float32"
+    return cfg
+
+
+def test_train_device_partial_final_chunk():
+    """ep_iter not a multiple of SCAN_CHUNK must run EXACTLY ep_iter
+    steps (ADVICE r1: over-stepping silently shifts the lr schedule)."""
+    import jax
+
+    from nerf_replication_tpu.datasets.pipeline import DeviceRayPipeline
+    from nerf_replication_tpu.models import make_network
+    from nerf_replication_tpu.train import make_trainer
+    from nerf_replication_tpu.train.recorder import Recorder
+
+    cfg = _tiny_nerf_cfg()
+    cfg.ep_iter = 7
+    net = make_network(cfg)
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(2, 8, 8, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    poses[:, 2, 3] = 4.0
+    K = np.array([[8.0, 0, 4], [0, 8, 4], [0, 0, 1]], np.float32)
+    pipe = DeviceRayPipeline(images, poses, K, n_rays=16)
+
+    trainer = make_trainer(cfg, net)
+    trainer.SCAN_CHUNK = 5  # 7 steps = one 5-chunk + one 2-chunk
+    from nerf_replication_tpu.models.nerf.network import init_params
+    state = trainer.init_state(init_params(net, jax.random.key(0)))
+    rec = Recorder(cfg, process_index=1)
+    state = trainer.train_device(0, pipe, state, rec)
+    assert int(state["step"]) == 7, int(state["step"])
