@@ -9,15 +9,19 @@ wrappers (hashencoder/hashgrid.py: HashEncoder :121-219, TriPlane
 :306-318, HashEncoderCoef :321-351), plus the pure-tensor fallbacks
 (src/models/encoding/hashgrid.py:12-134, triplane.py:8-102).
 
-TPU-first design: the forward is a fused gather + multilinear
-interpolation expressed in XLA (one `take` per level, unrolled over L
-static levels — XLA fuses the weighting); the backward is XLA's
-scatter-add, the deterministic TPU analog of the CUDA kernel's
-``atomicAdd`` (hashencoder.cu:254-269). A hand-written Pallas kernel for
-the gather was evaluated and rejected: Mosaic exposes no per-element
-VMEM gather, and XLA's native gather/scatter-add is the efficient TPU
-formulation here (SURVEY.md §2.2 notes the pure-XLA take/segment-sum
-route as the intended equivalent).
+TPU-first design: the forward is ONE fused gather over all levels —
+corner indices carry per-level global offsets into the concatenated
+table, so the 2^D-corner interpolation for every level is a single
+``jnp.take`` + weighted sum (XLA fuses the weighting). The backward is
+a ``custom_vjp``: instead of XLA's serializing non-unique scatter-add
+(measured ~8x the forward cost on v5e), gradient rows are sorted by
+table index and segment-summed — sort + segmented reduction is the
+deterministic TPU analog of the CUDA kernel's ``atomicAdd``
+(hashencoder.cu:254-269). Input gradients (needed when upstream modules
+warp the query points, e.g. Motion2D's deformation MLP) use the
+analytic interpolation-weight derivative, matching the CUDA
+``kernel_input_backward`` (hashencoder.cu:275-297), and are gated by
+``input_grad`` so plain point encoders skip the extra gather.
 
 Notes vs the reference:
 * the reference nudges the table size to the next prime (sympy isprime,
@@ -29,6 +33,7 @@ Notes vs the reference:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -72,6 +77,120 @@ def normalize_to_unit(x, bounds):
     return (x - lo) / (jnp.max(hi - lo) + EPS)
 
 
+# -- fused functional core ------------------------------------------------------
+# layout: (scales, offsets, use_hash, table_size, D, F, input_grad,
+#          sorted_bwd) — all static/hashable (custom_vjp nondiff arg)
+
+
+def _corners(D: int) -> np.ndarray:
+    return np.stack(
+        np.meshgrid(*([np.array([0, 1])] * D), indexing="ij"),
+        axis=-1).reshape(-1, D)
+
+
+def _indices_weights(layout, x):
+    """x (N, D) in [0,1] -> global table rows (N, L*C) int32 and
+    interpolation weights (N, L*C) f32. One pass of cheap VPU math for
+    ALL levels (the gather itself happens once, in the caller)."""
+    scales, offsets, use_hash, table_size, D, F, *_ = layout
+    corners = jnp.asarray(_corners(D))                  # (C, D)
+    idx_all, w_all = [], []
+    for l, res in enumerate(scales):
+        pos = x * res
+        base = jnp.floor(pos)
+        frac = pos - base
+        cidx = base.astype(jnp.int32)[:, None, :] + corners[None]  # (N,C,D)
+        cidx = jnp.clip(cidx, 0, res)
+        if use_hash[l]:
+            h = cidx[..., 0].astype(jnp.uint32)  # prime[0] == 1
+            for d in range(1, D):
+                h = h ^ (cidx[..., d].astype(jnp.uint32) *
+                         jnp.uint32(_PRIMES[d]))
+            idx = (h % jnp.uint32(table_size)).astype(jnp.int32)
+        else:
+            idx = cidx[..., 0]
+            for d in range(1, D):
+                idx = idx * (res + 1) + cidx[..., d]
+        idx_all.append(idx + offsets[l])
+        w_all.append(jnp.prod(
+            jnp.where(corners[None] == 1, frac[:, None, :],
+                      1.0 - frac[:, None, :]), axis=-1))
+    return (jnp.concatenate(idx_all, axis=-1),
+            jnp.concatenate(w_all, axis=-1))
+
+
+def _encode_fwd_impl(layout, table, x):
+    scales, offsets, use_hash, table_size, D, F, *_ = layout
+    L = len(scales)
+    C = 2 ** D
+    n = x.shape[0]
+    idx, w = _indices_weights(layout, x)
+    vals = jnp.take(table, idx.reshape(-1), axis=0).reshape(n, L, C, F)
+    out = (w.reshape(n, L, C, 1).astype(vals.dtype) * vals).sum(axis=2)
+    return out.reshape(n, L * F).astype(jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hash_encode(layout, table, x):
+    """Fused multi-level hash-grid encode with a TPU-fast backward."""
+    return _encode_fwd_impl(layout, table, x)
+
+
+def _encode_fwd(layout, table, x):
+    return _encode_fwd_impl(layout, table, x), (table, x)
+
+
+def _encode_bwd(layout, res, g):
+    scales, offsets, use_hash, table_size, D, F, input_grad, sorted_bwd = \
+        layout
+    table, x = res
+    L = len(scales)
+    C = 2 ** D
+    n = x.shape[0]
+    idx, w = _indices_weights(layout, x)                 # recomputed (cheap)
+    g4 = g.reshape(n, L, 1, F)
+    u = (w.reshape(n, L, C, 1) * g4).reshape(-1, F)      # (M, F)
+    ids = idx.reshape(-1)
+    if sorted_bwd:
+        # sort + segmented reduction: the scatter-add indices become
+        # sorted, which XLA reduces without per-row serialization
+        order = jnp.argsort(ids)
+        dtable = jax.ops.segment_sum(
+            u[order], ids[order], num_segments=table.shape[0],
+            indices_are_sorted=True)
+    else:
+        dtable = jnp.zeros((table.shape[0], F), u.dtype).at[ids].add(u)
+    dtable = dtable.astype(table.dtype)
+
+    if not input_grad:
+        return dtable, jnp.zeros_like(x)
+
+    # analytic d(out)/dx through the interpolation weights
+    # (hashencoder.cu:275-297): w = prod_d (corner_d ? frac_d : 1-frac_d)
+    vals = jnp.take(table, ids, axis=0).reshape(n, L, C, F)
+    vg = (vals.astype(jnp.float32) * g4).sum(-1)         # (N, L, C) dL/dw
+    corners = jnp.asarray(_corners(D))                   # (C, D)
+    dx = jnp.zeros_like(x)
+    for l, res in enumerate(scales):
+        pos = x * res
+        frac = pos - jnp.floor(pos)                      # (N, D)
+        term = jnp.where(corners[None] == 1, frac[:, None, :],
+                         1.0 - frac[:, None, :])         # (N, C, D)
+        sign = jnp.where(corners[None] == 1, 1.0, -1.0)
+        for d in range(D):
+            others = [term[..., dd] for dd in range(D) if dd != d]
+            prod = others[0]
+            for o in others[1:]:
+                prod = prod * o
+            dwdx = sign[..., d] * prod                   # (N, C)
+            dx = dx.at[:, d].add(
+                (vg[:, l, :] * dwdx).sum(-1) * res)
+    return dtable, dx
+
+
+hash_encode.defvjp(_encode_fwd, _encode_bwd)
+
+
 class HashGridEncoder(nn.Module):
     """D-dimensional multi-resolution hash grid, D in {2, 3, 4}."""
 
@@ -83,6 +202,14 @@ class HashGridEncoder(nn.Module):
     finest_resolution: int = -1
     per_level_scale: float = 2.0
     bounds: tuple = ()        # optional (2*D,) world bounds for normalize
+    # True when upstream modules need d(out)/dx (warped/learned query
+    # points, e.g. Motion2D); plain point encoders skip the extra gather
+    input_grad: bool = True
+    # sort+segment-sum backward (TPU-fast) vs plain scatter-add
+    sorted_bwd: bool = True
+    # gather dtype: bfloat16 halves the random-access HBM traffic; params
+    # stay float32 for the optimizer
+    compute_dtype: str = "float32"
 
     @property
     def output_dim(self) -> int:
@@ -127,11 +254,6 @@ class HashGridEncoder(nn.Module):
                 key, shape, jnp.float32, -1e-4, 1e-4),
             (offsets[-1], self.n_features),
         )
-        # 2^D binary corner offsets
-        D = self.input_dim
-        self._corners = np.stack(
-            np.meshgrid(*([np.array([0, 1])] * D), indexing="ij"),
-            axis=-1).reshape(-1, D)
 
     def __call__(self, x: jnp.ndarray, bounds=None, normalize: bool | None = None):
         """x (..., D) -> (..., L*F). If ``bounds`` (or self.bounds) given
@@ -145,35 +267,13 @@ class HashGridEncoder(nn.Module):
             x = normalize_to_unit(x, b)
         x = jnp.clip(x, 0.0, 1.0)
 
-        corners = jnp.asarray(self._corners)              # (C, D)
-        n_corners = corners.shape[0]
-        feats = []
-        for l in range(self.n_levels):
-            res = self._scales[l]
-            pos = x * res                                  # (N, D)
-            base = jnp.floor(pos)
-            frac = pos - base
-            cidx = base.astype(jnp.int32)[:, None, :] + corners[None]  # (N,C,D)
-            cidx = jnp.clip(cidx, 0, res)
-            if self._use_hash[l]:
-                h = cidx[..., 0].astype(jnp.uint32)  # prime[0] == 1
-                for d in range(1, self.input_dim):
-                    h = h ^ (cidx[..., d].astype(jnp.uint32) *
-                             jnp.uint32(_PRIMES[d]))
-                idx = (h % jnp.uint32(self._table_size)).astype(jnp.int32)
-            else:
-                idx = cidx[..., 0]
-                for d in range(1, self.input_dim):
-                    idx = idx * (res + 1) + cidx[..., d]
-            idx = idx + self._offsets[l]
-            vals = jnp.take(self.table, idx.reshape(-1), axis=0).reshape(
-                -1, n_corners, self.n_features)             # (N, C, F)
-            w = jnp.prod(
-                jnp.where(corners[None] == 1, frac[:, None, :],
-                          1.0 - frac[:, None, :]),
-                axis=-1)                                     # (N, C)
-            feats.append(jnp.sum(w[..., None] * vals, axis=1))
-        out = jnp.concatenate(feats, axis=-1)
+        layout = (tuple(self._scales), tuple(self._offsets),
+                  tuple(self._use_hash), self._table_size, self.input_dim,
+                  self.n_features, self.input_grad, self.sorted_bwd)
+        table = self.table
+        if self.compute_dtype != "float32":
+            table = table.astype(jnp.dtype(self.compute_dtype))
+        out = hash_encode(layout, table, x)
         return out.reshape(*shape, self.output_dim)
 
 

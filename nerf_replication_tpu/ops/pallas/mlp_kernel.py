@@ -85,49 +85,10 @@ def pack_nerf_params(branch_params: dict, in_dim: int, view_dim: int,
     return packed
 
 
-def _kernel(depth, skip,
-            x_ref, v_ref,
-            w0, b0, *rest):
+def _kernel(depth, skip, x_ref, v_ref, *rest):
     # rest: per-layer weights..., then w_af, b_af, wv_f, wv_d, bv, w_rgb,
     # b_rgb, out_ref
-    out_ref = rest[-1]
-    names = []
-    for i in range(1, depth):
-        if i == skip + 1:
-            names += [f"w{i}x", f"w{i}h"]
-        else:
-            names += [f"w{i}"]
-        names += [f"b{i}"]
-    names += ["w_af", "b_af", "wv_f", "wv_d", "bv", "w_rgb", "b_rgb"]
-    refs = dict(zip(names, rest[:-1]))
-
-    f32 = jnp.float32
-    x = x_ref[...]
-    h = jnp.maximum(
-        jnp.dot(x, w0[...], preferred_element_type=f32) + b0[...], 0.0)
-    for i in range(1, depth):
-        if i == skip + 1:
-            acc = (jnp.dot(x, refs[f"w{i}x"][...], preferred_element_type=f32)
-                   + jnp.dot(h.astype(x.dtype), refs[f"w{i}h"][...],
-                             preferred_element_type=f32))
-        else:
-            acc = jnp.dot(h.astype(x.dtype), refs[f"w{i}"][...],
-                          preferred_element_type=f32)
-        h = jnp.maximum(acc + refs[f"b{i}"][...], 0.0)
-
-    af = jnp.dot(h.astype(x.dtype), refs["w_af"][...],
-                 preferred_element_type=f32) + refs["b_af"][...]
-    feat = af[:, :256]
-    sigma = af[:, 256:257]
-    g = jnp.maximum(
-        jnp.dot(feat.astype(x.dtype), refs["wv_f"][...],
-                preferred_element_type=f32)
-        + jnp.dot(v_ref[...], refs["wv_d"][...], preferred_element_type=f32)
-        + refs["bv"][...], 0.0)
-    rgb = jnp.dot(g.astype(x.dtype), refs["w_rgb"][...],
-                  preferred_element_type=f32) + refs["b_rgb"][...]
-    out = jnp.concatenate([rgb[:, :3], sigma], axis=1)       # (TILE, 4)
-    out_ref[...] = jnp.pad(out, ((0, 0), (0, _LANE - 4)))
+    _kernel_body(depth, skip, x_ref[...], v_ref[...], *rest)
 
 
 def fused_nerf_mlp(packed: dict, pts_feat: jnp.ndarray,
@@ -189,6 +150,132 @@ def fused_nerf_mlp(packed: dict, pts_feat: jnp.ndarray,
     return out[:n, :4]
 
 
+def _freq_cols(x, n_freqs):
+    """In-kernel NeRF positional encoding, matching freq_encode's layout
+    exactly: [x, sin(2^0 x), cos(2^0 x), ..., sin(2^{F-1} x), cos(...)]
+    over all dims per band (models/encoding/freq.py:23-33)."""
+    feats = [x]
+    for i in range(n_freqs):
+        xb = x * (2.0 ** i)
+        feats.append(jnp.sin(xb))
+        feats.append(jnp.cos(xb))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def _kernel_enc(depth, skip, xyz_freqs, view_freqs, in_dim, view_dim,
+                p_ref, d_ref, *rest):
+    """Variant of _kernel that ENCODES inside the kernel: inputs are raw
+    (TILE, 3) points/dirs; the positional encoding runs on the VPU and
+    never round-trips HBM (saves the separate XLA encode pass — measured
+    ~24 ms per 2.56M-point chunk — plus 30x of input traffic)."""
+    in_pad = -(-in_dim // _LANE) * _LANE
+    view_pad = -(-view_dim // _LANE) * _LANE
+    x = jnp.pad(_freq_cols(p_ref[...], xyz_freqs),
+                ((0, 0), (0, in_pad - in_dim))).astype(jnp.bfloat16)
+    v = jnp.pad(_freq_cols(d_ref[...], view_freqs),
+                ((0, 0), (0, view_pad - view_dim))).astype(jnp.bfloat16)
+    _kernel_body(depth, skip, x, v, *rest)
+
+
+def _kernel_body(depth, skip, x, v, w0, b0, *rest):
+    out_ref = rest[-1]
+    names = []
+    for i in range(1, depth):
+        if i == skip + 1:
+            names += [f"w{i}x", f"w{i}h"]
+        else:
+            names += [f"w{i}"]
+        names += [f"b{i}"]
+    names += ["w_af", "b_af", "wv_f", "wv_d", "bv", "w_rgb", "b_rgb"]
+    refs = dict(zip(names, rest[:-1]))
+
+    f32 = jnp.float32
+    h = jnp.maximum(
+        jnp.dot(x, w0[...], preferred_element_type=f32) + b0[...], 0.0)
+    for i in range(1, depth):
+        if i == skip + 1:
+            acc = (jnp.dot(x, refs[f"w{i}x"][...], preferred_element_type=f32)
+                   + jnp.dot(h.astype(x.dtype), refs[f"w{i}h"][...],
+                             preferred_element_type=f32))
+        else:
+            acc = jnp.dot(h.astype(x.dtype), refs[f"w{i}"][...],
+                          preferred_element_type=f32)
+        h = jnp.maximum(acc + refs[f"b{i}"][...], 0.0)
+
+    af = jnp.dot(h.astype(x.dtype), refs["w_af"][...],
+                 preferred_element_type=f32) + refs["b_af"][...]
+    feat = af[:, :256]
+    sigma = af[:, 256:257]
+    g = jnp.maximum(
+        jnp.dot(feat.astype(x.dtype), refs["wv_f"][...],
+                preferred_element_type=f32)
+        + jnp.dot(v, refs["wv_d"][...], preferred_element_type=f32)
+        + refs["bv"][...], 0.0)
+    rgb = jnp.dot(g.astype(x.dtype), refs["w_rgb"][...],
+                  preferred_element_type=f32) + refs["b_rgb"][...]
+    out = jnp.concatenate([rgb[:, :3], sigma], axis=1)       # (TILE, 4)
+    out_ref[...] = jnp.pad(out, ((0, 0), (0, out_ref.shape[1] - 4)))
+
+
+def fused_nerf_mlp_enc(packed: dict, pts: jnp.ndarray, dirs: jnp.ndarray,
+                       xyz_freqs: int, view_freqs: int,
+                       tile_n: int = 2048, interpret: bool | None = None):
+    """Raw (N, 3) points + (N, 3) dirs -> raw (N, 4) float32, encoding +
+    all MLP layers fused in one kernel pass."""
+    import os
+
+    if interpret is None:
+        interpret = os.environ.get("PALLAS_INTERPRET", "0") == "1"
+    meta = packed["_meta"]
+    in_pad, view_pad, depth, skip = (int(m) for m in meta)
+    in_dim = 3 * (1 + 2 * xyz_freqs)
+    view_dim = 3 * (1 + 2 * view_freqs)
+    n = pts.shape[0]
+    n_full = -(-n // tile_n) * tile_n
+
+    p = _pad_to(pts.astype(jnp.float32), rows=n_full)
+    d = _pad_to(dirs.astype(jnp.float32), rows=n_full)
+
+    weight_names = ["w0", "b0"]
+    for i in range(1, depth):
+        if i == skip + 1:
+            weight_names += [f"w{i}x", f"w{i}h"]
+        else:
+            weight_names += [f"w{i}"]
+        weight_names += [f"b{i}"]
+    weight_names += ["w_af", "b_af", "wv_f", "wv_d", "bv", "w_rgb", "b_rgb"]
+    weights = [packed[k] for k in weight_names]
+
+    OUT_W = 8
+    grid = (n_full // tile_n,)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_kernel_enc, depth, skip, xyz_freqs, view_freqs,
+                in_dim, view_dim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *[full(wt) for wt in weights],
+        ],
+        out_specs=pl.BlockSpec((tile_n, OUT_W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_full, OUT_W), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_full * (in_pad * 256 + 6 * 256 * 256 +
+                                (in_pad + 256) * 256 + 256 * 384 +
+                                (256 + view_pad) * 128 + 128 * 128),
+            bytes_accessed=n_full * 6 * 4 + n_full * OUT_W * 4,
+            transcendentals=n_full * (in_dim + view_dim - 6),
+        ),
+        interpret=interpret,
+    )(p, d, *weights)
+    return out[:n, :4]
+
+
 def make_fused_apply(net, params):
     """Build an eval apply_fn(params_ignored, pts, viewdirs, model) that
     routes the MLP through the Pallas kernel (encoders run in XLA).
@@ -219,14 +306,27 @@ def make_fused_apply(net, params):
     except (AssertionError, KeyError):
         return None
 
+    # frequency encoders fuse INTO the kernel (identity + sin/cos bands on
+    # the VPU); other encoder types encode in XLA and use the
+    # features-in kernel
+    from ...models.encoding.freq import FrequencyEncoder
+
+    freq_fused = (isinstance(xyz_enc, FrequencyEncoder)
+                  and isinstance(dir_enc, FrequencyEncoder)
+                  and xyz_enc.include_input and dir_enc.include_input
+                  and xyz_enc.input_dim == 3 and dir_enc.input_dim == 3)
+
     def apply_fn(_params, pts, viewdirs, model):
         shape = pts.shape[:-1]
         pts_flat = pts.reshape(-1, 3)
         dirs = jnp.broadcast_to(viewdirs, shape + (3,)).reshape(-1, 3)
-        pf = xyz_enc(pts_flat)
-        vf = dir_enc(dirs)
         branch = "fine" if model == "fine" else "coarse"
-        raw = fused_nerf_mlp(packed[branch], pf, vf)
+        if freq_fused:
+            raw = fused_nerf_mlp_enc(packed[branch], pts_flat, dirs,
+                                     xyz_enc.n_freqs, dir_enc.n_freqs)
+        else:
+            raw = fused_nerf_mlp(packed[branch], xyz_enc(pts_flat),
+                                 dir_enc(dirs))
         return raw.reshape(*shape, 4)
 
     return apply_fn

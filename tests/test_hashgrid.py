@@ -202,3 +202,81 @@ def test_global_num_frames_propagates():
     cfg.network.dir_encoder = {"type": "frequency", "input_dim": 3, "freq": 2}
     net = make_network(cfg)
     assert net.xyz_encoder.num_frames == 7
+
+
+def test_sorted_bwd_matches_scatter_and_autodiff():
+    """The custom sorted-segment-sum backward must equal both the plain
+    scatter-add backward and raw autodiff of the take-based forward."""
+    from nerf_replication_tpu.models.encoding.hashgrid import (
+        _encode_fwd_impl, hash_encode)
+
+    enc_s = _grid(sorted_bwd=True)
+    enc_p = _grid(sorted_bwd=False)
+    x = jax.random.uniform(jax.random.key(0), (64, 3))
+    params = enc_s.init(jax.random.key(1), x)
+    cot = jax.random.normal(jax.random.key(2), (64, 8))
+
+    def loss(enc):
+        return lambda p: jnp.sum(enc.apply(p, x) * cot)
+
+    g_sorted = jax.grad(loss(enc_s))(params)["params"]["table"]
+    g_scatter = jax.grad(loss(enc_p))(params)["params"]["table"]
+    np.testing.assert_allclose(np.asarray(g_sorted), np.asarray(g_scatter),
+                               rtol=1e-5, atol=1e-7)
+
+    # raw autodiff of the take-based forward (no custom_vjp)
+    scales, offsets, use_hash, T = _level_layout(3, 4, 12, 4, -1, 2.0)
+    layout = (tuple(scales), tuple(offsets), tuple(use_hash), T, 3, 2,
+              True, True)
+    table = params["params"]["table"]
+
+    g_auto = jax.grad(
+        lambda t: jnp.sum(_encode_fwd_impl(layout, t, x) * cot))(table)
+    np.testing.assert_allclose(np.asarray(g_sorted), np.asarray(g_auto),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_input_grad_matches_autodiff():
+    """d(out)/dx via the analytic weight derivative must equal autodiff
+    of the take-based forward (the CUDA kernel_input_backward analog)."""
+    from nerf_replication_tpu.models.encoding.hashgrid import (
+        _encode_fwd_impl, _level_layout, hash_encode)
+
+    scales, offsets, use_hash, T = _level_layout(3, 3, 12, 4, -1, 2.0)
+    layout = (tuple(scales), tuple(offsets), tuple(use_hash), T, 3, 2,
+              True, True)
+    key = jax.random.key(0)
+    table = jax.random.normal(key, (offsets[-1], 2)) * 0.1
+    # keep x away from cell boundaries (floor() kinks break equality)
+    x = (jnp.floor(jax.random.uniform(jax.random.key(1), (32, 3)) * 4) +
+         jnp.array([0.3, 0.5, 0.7])) / 4.0
+    cot = jax.random.normal(jax.random.key(2), (32, 6))
+
+    gx_custom = jax.grad(
+        lambda xx: jnp.sum(hash_encode(layout, table, xx) * cot))(x)
+    gx_auto = jax.grad(
+        lambda xx: jnp.sum(_encode_fwd_impl(layout, table, xx) * cot))(x)
+    np.testing.assert_allclose(np.asarray(gx_custom), np.asarray(gx_auto),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_motion2d_deformation_gets_gradients():
+    """Composite encoders warp query points through a learned MLP — the
+    hash grid must propagate input gradients to the deformation params."""
+    from nerf_replication_tpu.models.encoding.hashgrid import Motion2DEncoder
+
+    enc = Motion2DEncoder.from_cfg(CN({
+        "num_levels": 2, "level_dim": 2, "base_resolution": 4,
+        "log2_hashmap_size": 10, "per_level_scale": 2.0,
+        "bounds": [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0], "num_frames": 3}))
+    xyzt = jnp.concatenate(
+        [jax.random.uniform(jax.random.key(0), (16, 3)) * 1.6 - 0.8,
+         jnp.ones((16, 1))], axis=-1)
+    params = enc.init(jax.random.key(1), xyzt)
+
+    g = jax.grad(lambda p: jnp.sum(enc.apply(p, xyzt) ** 2))(params)
+    mlp_kernels = [np.asarray(v["kernel"])
+                   for k, v in g["params"].items() if k.startswith("mlp")]
+    assert mlp_kernels, list(g["params"])
+    assert any(np.abs(k).max() > 0 for k in mlp_kernels), (
+        "deformation MLP receives zero gradient — input_grad path broken")

@@ -79,3 +79,52 @@ def test_make_fused_apply_rejects_nonstandard_arch():
     net = make_network(cfg)
     params = init_params(net, jax.random.key(0))
     assert make_fused_apply(net, params) is None  # W != 256
+
+
+def test_enc_fused_kernel_matches_xla_interpret(flagship):
+    """The encode-in-kernel variant (raw points/dirs in) must match the
+    XLA network output."""
+    from nerf_replication_tpu.ops.pallas.mlp_kernel import fused_nerf_mlp_enc
+
+    net, params = flagship
+    packed = pack_nerf_params(params["params"]["coarse"], 63, 27)
+    pts = jax.random.uniform(jax.random.key(1), (70, 3),
+                             minval=-1.2, maxval=1.2)
+    dirs = jax.random.normal(jax.random.key(2), (70, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    out = fused_nerf_mlp_enc(packed, pts, dirs, 10, 4, tile_n=32,
+                             interpret=True)
+    ref = net.apply(params, pts[:, None, :], dirs[:, None, :],
+                    model="")[:, 0, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.02, rtol=0.05)
+
+
+def test_make_fused_apply_selects_enc_fusion_and_matches(flagship,
+                                                         monkeypatch):
+    monkeypatch.setenv("PALLAS_INTERPRET", "1")
+    net, params = flagship
+    apply_fn = make_fused_apply(net, params)
+    assert apply_fn is not None
+    pts = jax.random.uniform(jax.random.key(3), (8, 4, 3),
+                             minval=-1.0, maxval=1.0)
+    dirs = jax.random.normal(jax.random.key(4), (8, 1, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    out = apply_fn(None, pts, dirs, "fine")
+    ref = net.apply(params, pts, dirs, model="fine")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.02, rtol=0.05)
+
+
+def test_make_fused_apply_rejects_noncanonical(flagship):
+    """view_depth=2 (views_1) must fall back to XLA (ADVICE r1)."""
+    cfg = default_cfg()
+    cfg.network.nerf = {"D": 8, "W": 256, "V_D": 2, "skips": [4]}
+    cfg.network.xyz_encoder = {"type": "frequency", "input_dim": 3,
+                               "freq": 10}
+    cfg.network.dir_encoder = {"type": "frequency", "input_dim": 3,
+                               "freq": 4}
+    net = make_network(cfg)
+    params = init_params(net, jax.random.key(0))
+    assert make_fused_apply(net, params) is None
