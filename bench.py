@@ -6,6 +6,22 @@ Prints ONE JSON line:
   {"metric": "render_fps_800x800", "value": N, "unit": "fps",
    "vs_baseline": N / 5.0}
 (baseline: the BASELINE.md north-star target of 5 fps at 800x800).
+
+Render path (the product frame renderer, volume_renderer.py
+make_frame_renderer): device-side ray generation, occupancy-grid ESS
+(instant-ngp-style cached bitfield from the TRAINED density — background
+rays skip every MLP call), static top-K compaction, fine render of
+survivors via the fused Pallas MLP kernel, one uint8 image download.
+
+Uses the trained checkpoint from scripts/quality_run.py
+(data/pretrain/hard) when present — occupancy culling is only
+meaningful on a trained field; without it the bench falls back to
+random params + static capacity 0.5 (content-independent, round-1
+semantics).
+
+Env knobs: BENCH_SIZE, BENCH_FRAMES, BENCH_FAST=0 (dense),
+BENCH_PALLAS=0 (XLA MLP), BENCH_CAPACITY / BENCH_COARSE_CAPACITY,
+BENCH_OCC=0 (disable grid), BENCH_RAY_CHUNK.
 """
 
 from __future__ import annotations
@@ -50,61 +66,98 @@ def main():
     enable_compile_cache()
     watchdog = _arm_watchdog()
 
-    from __graft_entry__ import _flagship
-    from nerf_replication_tpu.utils.synthetic_scene import (
-        camera_rays,
-        look_at_pose,
-    )
-
     import dataclasses
 
+    from __graft_entry__ import _flagship
     from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
         Renderer,
     )
+    from nerf_replication_tpu.ops.ray_ops import density_activation
+    from nerf_replication_tpu.utils.ckpt_utils import load_pretrain
+    from nerf_replication_tpu.utils.synthetic_scene import look_at_pose
 
     H = W = int(os.environ.get("BENCH_SIZE", "800"))
     frames = int(os.environ.get("BENCH_FRAMES", "4"))
-    # compaction is on by default: survivors render identically to the
-    # dense path; only true-background rays (coarse acc < 1e-3) keep the
-    # coarse/white composite (BENCH_FAST=0 forces the fully dense render)
     fast = os.environ.get("BENCH_FAST", "1") == "1"
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    use_occ = os.environ.get("BENCH_OCC", "1") == "1"
+
     cfg, net, params, settings, apply_fn = _flagship()
     ray_chunk = int(os.environ.get("BENCH_RAY_CHUNK",
-                                   cfg.task_arg.get("ray_chunk", 20000)))
-    settings = dataclasses.replace(settings, ray_chunk=ray_chunk,
-                                   fast_sampling=fast)
+                                   cfg.task_arg.get("ray_chunk", 40000)))
 
-    focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
+    # trained flagship (quality_run.py artifact): enables content-true
+    # occupancy culling and a softplus density matching its training
+    pre_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "data", "pretrain", "hard")
+    trained = load_pretrain(pre_dir) if os.path.isdir(pre_dir) else None
+    density_act = "relu"
+    if trained is not None:
+        params = jax.tree.map(jnp.asarray, trained)
+        density_act = "softplus"  # hard.yaml task_arg.density_activation
+        print("bench: using trained 'hard' checkpoint", file=sys.stderr)
+    else:
+        use_occ = False
+        print("bench: no trained checkpoint; random params, static "
+              "capacity", file=sys.stderr)
+
+    settings = dataclasses.replace(settings, ray_chunk=ray_chunk,
+                                   fast_sampling=fast,
+                                   density_activation=density_act)
+    renderer = Renderer(net, settings=settings, mesh=None)
+    if use_pallas:
+        ok = renderer.enable_fused_mlp(params)
+        print(f"fused pallas MLP: {ok}", file=sys.stderr)
+
+    occupancy = None
+    if use_occ and fast:
+        from nerf_replication_tpu.ops.occupancy import build_occupancy_grid
+
+        act = density_activation(density_act)
+
+        def density_fn(p, pts):
+            return act(apply_fn(p, pts[:, None, :],
+                                jnp.zeros((1, 1, 3)), "fine")[:, 0, 3])
+
+        t0 = time.time()
+        grid, bbox = build_occupancy_grid(density_fn, params, resolution=64,
+                                          threshold=0.05, dilate=2)
+        print(f"occupancy grid: {float(grid.mean()):.3f} occupied, built "
+              f"in {time.time() - t0:.1f}s", file=sys.stderr)
+        occupancy = (grid, bbox)
+
+    capacity = float(os.environ.get("BENCH_CAPACITY",
+                                    "0.35" if occupancy else "0.5"))
+    coarse_capacity = float(os.environ.get("BENCH_COARSE_CAPACITY", "0.4"))
+    frame_fn = renderer.make_frame_renderer(
+        H, W, focal=0.5 * W / np.tan(0.5 * 0.6911112070083618),
+        capacity=capacity if fast else 1.0,
+        coarse_capacity=coarse_capacity if fast else 1.0,
+        out_dtype=jnp.uint8, occupancy=occupancy, return_stats=True)
+
     poses = [look_at_pose(np.array(
         [4.0 * np.cos(a), 4.0 * np.sin(a), 1.5], dtype=np.float32))
         for a in np.linspace(0, 2 * np.pi, frames + 1)[:-1]]
 
-    renderer = Renderer(net, settings=settings)
-    if use_pallas:
-        print("fused pallas MLP:", renderer.enable_fused_mlp(params),
-              file=sys.stderr)
-
-    capacity = float(os.environ.get("BENCH_CAPACITY", "0.5"))
-    frame_fn = renderer.make_frame_renderer(
-        H, W, focal, capacity=capacity if fast else 1.0)
-
-    def render_image(params, pose):
-        # single dispatch: pose up (64 B), image down — tunnel-friendly
-        return frame_fn(params, jnp.asarray(pose))
-
     def fetch(x):
         # host transfer: the only reliable completion fence on the
         # experimental tunneled backend (block_until_ready returns early)
-        return float(np.asarray(x).sum())
+        return np.asarray(x)
 
     # warmup / compile
-    fetch(render_image(params, poses[0]))
+    img, stats = frame_fn(params, jnp.asarray(poses[0]))
+    fetch(img)
+    stats = {k: int(v) for k, v in stats.items()}
+    print(f"frame stats: {stats}", file=sys.stderr)
+    if stats.get("coarse_overflow", 0) or stats.get("fine_overflow", 0):
+        print("WARNING: capacity overflow — some real rays rendered "
+              "coarse-only or as background; raise BENCH_CAPACITY/"
+              "BENCH_COARSE_CAPACITY for full quality", file=sys.stderr)
 
     times = []
     for pose in poses:
         t0 = time.time()
-        img = render_image(params, pose)
+        img, _ = frame_fn(params, jnp.asarray(pose))
         fetch(img)
         times.append(time.time() - t0)
         print(f"frame: {times[-1]:.3f}s", file=sys.stderr, flush=True)

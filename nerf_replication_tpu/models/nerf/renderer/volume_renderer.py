@@ -37,6 +37,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ....ops.ray_ops import (
     compute_weights,
@@ -422,17 +423,34 @@ class Renderer:
         return {"rgb": out_rgb, "depth": out_depth, "acc": out_acc}
 
     def make_frame_renderer(self, H: int, W: int, focal: float,
-                            capacity: float = 0.5, out_dtype=jnp.float32):
+                            capacity: float = 0.5, out_dtype=jnp.float32,
+                            occupancy=None, coarse_capacity: float | None
+                            = None, return_stats: bool = False):
         """ONE jitted program per frame: device-side ray generation from
-        the camera pose, coarse pass over all rays, static-capacity top-K
-        ray compaction by coarse opacity (TPU-native ESS — no host
-        roundtrip), fine render of survivors, scatter-back.
+        the camera pose, static-capacity top-K ray compaction (TPU-native
+        ESS — no host roundtrip), fine render of survivors, scatter-back.
+
+        Two culling stages:
+        1. ``occupancy=(grid, bbox)`` (see ops/occupancy.py): rays whose
+           probes never touch an occupied cell skip the COARSE pass too
+           and composite as pure background — the instant-ngp bitfield
+           idea. ``coarse_capacity`` bounds the coarse survivor count
+           (default: ``capacity`` + margin).
+        2. top-K by coarse opacity bounds the fine survivor count at
+           ``capacity`` (reuses saved coarse weights — the coarse MLP is
+           not re-evaluated).
+
+        Active rays run the exact dense coarse+fine math; only rays the
+        (conservative, dilated) grid proves empty — or beyond static
+        capacity, reported via ``return_stats`` overflow counters — take
+        the cheap path.
 
         Designed for tunneled/remote devices where per-dispatch latency
         and host<->device bandwidth dominate: upload is one (4,4) pose,
-        download one (H*W, 3) image.
+        download one (H*W, 3) image (uint8 when ``out_dtype`` says so).
 
-        Returns jit(fn)(params, c2w) -> rgb (H*W, 3).
+        Returns jit(fn)(params, c2w) -> rgb (H*W, 3)
+        [, stats dict when return_stats].
         """
         s = dataclasses.replace(self.settings, fast_sampling=False)
         coarse_s = dataclasses.replace(s, N_importance=0)
@@ -442,7 +460,22 @@ class Renderer:
         n_full = n + n_pad
         k = int(n_full * capacity)
         k = max(chunk, (k // chunk) * chunk)
+        k1 = int(n_full * (coarse_capacity if coarse_capacity is not None
+                           else min(1.0, capacity * 1.5)))
+        k1 = max(chunk, min((k1 // chunk) * chunk, n_full))
+        k1 = max(k1, k)
         apply_fn = self.apply_fn
+
+        if occupancy is not None:
+            from ....ops.occupancy import rays_active
+
+            occ_grid = jnp.asarray(np.asarray(occupancy[0], np.uint8))
+            occ_bbox = tuple(float(b) for b in occupancy[1])
+            # probe step must stay under the grid's dilation margin so a
+            # ray cannot step across an occupied cell unseen
+            r = occ_grid.shape[0]
+            cell = max((occ_bbox[3 + d] - occ_bbox[d]) / r for d in range(3))
+            n_probe = int(np.ceil((s.far - s.near) / cell)) + 1
 
         def fn(params, c2w):
             us, vs = jnp.meshgrid(
@@ -458,17 +491,45 @@ class Renderer:
             rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
             ro = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
             rd = jnp.pad(rays_d, ((0, n_pad), (0, 0)), constant_values=1.0)
+            stats = {}
 
-            coarse = jax.lax.map(
-                lambda rr: render_rays(apply_fn, params, rr[0], rr[1], None,
-                                       coarse_s, train=False),
-                (ro.reshape(-1, chunk, 3), rd.reshape(-1, chunk, 3)))
-            rgb_c = coarse["rgb"].reshape(n_full, 3)
-            acc_c = coarse["acc"].reshape(n_full)
-            w_c = coarse["weights"].reshape(n_full, s.N_samples)
+            def coarse_chunks(cro, crd):
+                out = jax.lax.map(
+                    lambda rr: render_rays(apply_fn, params, rr[0], rr[1],
+                                           None, coarse_s, train=False),
+                    (cro.reshape(-1, chunk, 3), crd.reshape(-1, chunk, 3)))
+                m = cro.shape[0]
+                return (out["rgb"].reshape(m, 3), out["acc"].reshape(m),
+                        out["weights"].reshape(m, s.N_samples))
+
+            if occupancy is None:
+                rgb_c, acc_c, w_c = coarse_chunks(ro, rd)
+                stats["coarse_rays"] = jnp.int32(n_full)
+            else:
+                t_probe = jnp.linspace(s.near, s.far, n_probe)
+                pad_live = jnp.arange(n_full) < n
+                active = rays_active(ro, rd, t_probe, occ_grid, occ_bbox)
+                active = active & pad_live
+                order1 = jnp.argsort(~active)       # actives first, stable
+                sel1 = order1[:k1]
+                rgb1, acc1, w1 = coarse_chunks(ro[sel1], rd[sel1])
+                # inactive/uncovered rays: pure background
+                bg = 1.0 if s.white_bkgd else 0.0
+                rgb_c = jnp.full((n_full, 3), bg).at[sel1].set(rgb1)
+                acc_c = jnp.zeros((n_full,)).at[sel1].set(acc1)
+                w_c = jnp.zeros((n_full, s.N_samples)).at[sel1].set(w1)
+                n_active = active.sum()
+                stats["active_rays"] = n_active
+                stats["coarse_overflow"] = jnp.maximum(n_active - k1, 0)
+                stats["coarse_rays"] = jnp.int32(k1)
+
             # padded rays get acc 0 -> sorted last
             order = jnp.argsort(-acc_c)
             sel = order[:k]
+            # rays with real opacity beyond the fine budget render
+            # coarse-only; report how many
+            stats["fine_overflow"] = jnp.maximum(
+                (acc_c > 1e-3).sum() - k, 0)
 
             # fine pass reuses the SAVED coarse weights: the coarse MLP is
             # not re-evaluated for survivors (saves N_samples/(N_samples +
@@ -487,8 +548,13 @@ class Renderer:
                 (ro[sel].reshape(-1, chunk, 3),
                  rd[sel].reshape(-1, chunk, 3),
                  w_c[sel].reshape(-1, chunk, s.N_samples)))
-            rgb = rgb_c.at[sel].set(fine.reshape(k, 3))
-            return rgb[:n].astype(out_dtype)
+            rgb = rgb_c.at[sel].set(fine.reshape(k, 3))[:n]
+            if out_dtype == jnp.uint8:
+                rgb = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0
+                                ).astype(jnp.uint8)
+            else:
+                rgb = rgb.astype(out_dtype)
+            return (rgb, stats) if return_stats else rgb
 
         return jax.jit(fn)
 

@@ -77,6 +77,8 @@ def make_dp_epoch_runner(trainer, pipeline, mesh: Mesh, n_steps: int):
     dat = data_sharded(mesh)
     rep = replicated(mesh)
 
+    import jax.numpy as jnp
+
     def one_step(state, step_key):
         k_data, k_render = jax.random.split(step_key)
         batch = pipeline.sample(k_data, state["step"])
@@ -84,11 +86,14 @@ def make_dp_epoch_runner(trainer, pipeline, mesh: Mesh, n_steps: int):
             batch, jax.tree.map(lambda _: dat, batch))
         return trainer._train_step_inner(state, batch, k_render)
 
-    def run_epoch(state, key):
-        keys = jax.random.split(key, n_steps)
+    def run_epoch(state, key, start=0):
+        # global-step-indexed keys: the trajectory is invariant to the
+        # sub-scan chunking (see Trainer.SCAN_CHUNK)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(n_steps) + start)
         return jax.lax.scan(one_step, state, keys)
 
-    return jax.jit(run_epoch, in_shardings=(rep, rep),
+    return jax.jit(run_epoch, in_shardings=(rep, rep, rep),
                    out_shardings=(rep, rep), donate_argnums=0)
 
 

@@ -64,6 +64,9 @@ class Trainer:
         self.ep_iter = int(cfg.get("ep_iter", -1))
         self.max_epoch = int(cfg.train.epoch)
         self.process_index = jax.process_index()
+        # sub-scan length for train_device (cfg knob `scan_chunk`); see
+        # the SCAN_CHUNK comment below for why epochs are chunked
+        self.SCAN_CHUNK = int(cfg.get("scan_chunk", type(self).SCAN_CHUNK))
 
         def train_step(state, batch, key):
             grad_fn = jax.value_and_grad(
@@ -155,8 +158,13 @@ class Trainer:
                         batch = pipeline.sample(k_data, state["step"])
                         return self._train_step_inner(state, batch, k_render)
 
-                    def run_chunk(state, key):
-                        keys = jax.random.split(key, chunk)
+                    def run_chunk(state, key, start):
+                        # per-step keys derive from the GLOBAL step index
+                        # so the trajectory is invariant to how the epoch
+                        # is chunked into sub-scans
+                        keys = jax.vmap(
+                            lambda i: jax.random.fold_in(key, i))(
+                                jnp.arange(chunk) + start)
                         return jax.lax.scan(one_step, state, keys)
 
                     scan_fn = jax.jit(run_chunk)
@@ -170,8 +178,7 @@ class Trainer:
             # final partial chunk runs EXACTLY the remaining steps (a short
             # tail must not silently over-step the optimizer/lr schedule)
             chunk = min(self.SCAN_CHUNK, n_steps - done)
-            state, stats = get_scan_fn(chunk)(
-                state, jax.random.fold_in(key, done))
+            state, stats = get_scan_fn(chunk)(state, key, done)
             done += chunk
         # host fetch as the completion fence (block_until_ready does not
         # reliably block on tunneled backends)
