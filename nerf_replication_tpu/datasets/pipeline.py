@@ -34,6 +34,13 @@ class DeviceRayPipeline:
         precrop_frac: float = 0.5,
         sample_across_images: bool = False,
     ):
+        # images live on device as uint8 (PNG sources are 8-bit, so the
+        # /255 round-trip is exact): 4x less HBM and upload than f32 —
+        # lego-scale is 100x800x800x3 = 192 MB vs 768 MB
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            images = np.round(np.clip(images, 0.0, 1.0) * 255.0
+                              ).astype(np.uint8)
         self.images = jnp.asarray(images)
         self.poses = jnp.asarray(poses)
         self.n_images, self.H, self.W = images.shape[:3]
@@ -58,12 +65,25 @@ class DeviceRayPipeline:
         rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
         return rays_o, rays_d
 
-    def sample(self, key: jax.Array, step: jax.Array | int = 1 << 30) -> dict:
+    def data(self) -> dict:
+        """Device arrays to PASS AS ARGUMENTS through a jit boundary.
+
+        Closing over the image stack instead would embed it as an HLO
+        constant — at lego scale that is a multi-hundred-MB literal the
+        (remote) compiler must swallow per program. Callers thread this
+        dict into ``sample(..., data=...)``."""
+        return {"images": self.images, "poses": self.poses}
+
+    def sample(self, key: jax.Array, step: jax.Array | int = 1 << 30,
+               data: dict | None = None) -> dict:
         """Draw one training batch. Trace-safe: call inside jit.
 
         Returns {rays_o, rays_d, colors} each (n_rays, ...). ``step``
-        drives the precrop schedule (traced int is fine).
+        drives the precrop schedule (traced int is fine). ``data``
+        (see :meth:`data`) avoids constant-capturing the image stack.
         """
+        images = self.images if data is None else data["images"]
+        poses = self.poses if data is None else data["poses"]
         k_img, k_pix = jax.random.split(key)
         step = jnp.asarray(step)
         in_precrop = step < self.precrop_iters
@@ -82,8 +102,8 @@ class DeviceRayPipeline:
 
         if self.sample_across_images:
             img_idx = jax.random.randint(k_img, (self.n_rays,), 0, self.n_images)
-            colors = self.images[img_idx, v, u]
-            pose = self.poses[img_idx]          # (n_rays, 4, 4)
+            colors = images[img_idx, v, u]
+            pose = poses[img_idx]               # (n_rays, 4, 4)
             dirs = jnp.stack(
                 [(u - self.cx) / self.focal,
                  -(v - self.cy) / self.focal,
@@ -95,10 +115,11 @@ class DeviceRayPipeline:
             rays_o = pose[:, :3, 3]
         else:
             img_idx = jax.random.randint(k_img, (), 0, self.n_images)
-            colors = self.images[img_idx, v, u]
+            colors = images[img_idx, v, u]
             rays_o, rays_d = self._pixel_rays(
-                self.poses[img_idx], u.astype(jnp.float32), v.astype(jnp.float32)
+                poses[img_idx], u.astype(jnp.float32), v.astype(jnp.float32)
             )
+        colors = colors.astype(jnp.float32) / 255.0
         return {"rays_o": rays_o, "rays_d": rays_d, "colors": colors}
 
     def rays_for_pose(self, pose: jnp.ndarray):

@@ -46,6 +46,28 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_host_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Mesh-place a host-loader batch, picking per-leaf the first axis
+    divisible by the mesh size (reference loaders yield (B=1, N_rays, ...)
+    tensors — the ray axis is the data-parallel axis there); leaves with
+    no divisible axis are replicated. Keeps the host-loader training path
+    data-parallel instead of silently single-device."""
+    n_dev = len(mesh.devices.ravel())
+
+    def place(x):
+        x = np.asarray(x) if not hasattr(x, "ndim") else x
+        if getattr(x, "dtype", np.dtype(object)).kind in "OUS":
+            return x  # strings/objects (meta) stay on host
+        spec = P()
+        for d in range(getattr(x, "ndim", 0)):
+            if x.shape[d] % n_dev == 0 and x.shape[d] > 0:
+                spec = P(*([None] * d + [axis]))
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, batch)
+
+
 def replicate_tree(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
@@ -79,21 +101,22 @@ def make_dp_epoch_runner(trainer, pipeline, mesh: Mesh, n_steps: int):
 
     import jax.numpy as jnp
 
-    def one_step(state, step_key):
+    def one_step(data, state, step_key):
         k_data, k_render = jax.random.split(step_key)
-        batch = pipeline.sample(k_data, state["step"])
+        batch = pipeline.sample(k_data, state["step"], data=data)
         batch = jax.lax.with_sharding_constraint(
             batch, jax.tree.map(lambda _: dat, batch))
         return trainer._train_step_inner(state, batch, k_render)
 
-    def run_epoch(state, key, start=0):
+    def run_epoch(state, key, start, data):
         # global-step-indexed keys: the trajectory is invariant to the
-        # sub-scan chunking (see Trainer.SCAN_CHUNK)
+        # sub-scan chunking (see Trainer.SCAN_CHUNK); the image stack
+        # rides as an argument, not an HLO constant
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
             jnp.arange(n_steps) + start)
-        return jax.lax.scan(one_step, state, keys)
+        return jax.lax.scan(partial(one_step, data), state, keys)
 
-    return jax.jit(run_epoch, in_shardings=(rep, rep, rep),
+    return jax.jit(run_epoch, in_shardings=(rep, rep, rep, rep),
                    out_shardings=(rep, rep), donate_argnums=0)
 
 

