@@ -235,6 +235,12 @@ class HashGridEncoder(nn.Module):
                                 g("desired_resolution", -1)),
             per_level_scale=g("per_level_scale", 2.0),
             bounds=tuple(g("bounds", g("bbox", ()))),
+            # YAML-driven plain point encoders don't need d(out)/dx —
+            # sample positions carry no gradient; composite encoders
+            # (constructed directly) keep the default True
+            input_grad=bool(g("input_grad", False)),
+            sorted_bwd=bool(g("sorted_bwd", True)),
+            compute_dtype=str(g("compute_dtype", "float32")),
         )
         kw.update(overrides)
         return cls(**kw)

@@ -63,6 +63,8 @@ class RenderSettings:
     fast_sampling: bool = False
     weights_threshold: float = 0.25
     ert_threshold: float = 0.45
+    ess_verbose: bool = False  # emit ESS/ERT mask statistics (reference
+    #                            volume_renderer.py:198-244 debug prints)
     ray_chunk: int = 8192  # eval tile size for lax.map over rays
     density_activation: str = "relu"  # 'softplus' avoids dead-ReLU collapse
 
@@ -82,6 +84,7 @@ class RenderSettings:
             fast_sampling=bool(get("fast_sampling", False)),
             weights_threshold=float(get("weights_threshold", 0.25)),
             ert_threshold=float(get("ert_threshold", 0.45)),
+            ess_verbose=bool(get("ess_verbose", False)),
             ray_chunk=int(get("ray_chunk", 8192)),
             density_activation=str(get("density_activation", "relu")),
         )
@@ -186,8 +189,19 @@ def fine_stage(
         raw_f[..., 3], t_all, raw_noise_std=s.raw_noise_std, key=noise_key,
         activation=density_activation(s.density_activation))
     rgb_map, depth_map, acc_map = composite(rgb_f, w_f, t_all, s.white_bkgd)
-    return {"rgb": rgb_map, "depth": depth_map, "acc": acc_map,
-            "raw": raw_f, "t_all": t_all}
+    out = {"rgb": rgb_map, "depth": depth_map, "acc": acc_map,
+           "raw": raw_f, "t_all": t_all}
+    if valid_sorted is not None and s.ess_verbose:
+        # ESS/ERT debug statistics (reference volume_renderer.py:198-244):
+        # empty-ray count, per-ray valid-sample fraction, skip fraction
+        empty_ray = density_coarse.sum(axis=-1) < 1e-3
+        out["ess_stats"] = {
+            "empty_rays": empty_ray.sum(),
+            "total_rays": jnp.int32(t_all.shape[0]),
+            "valid_fine_frac": valid_sorted.mean(),
+            "skipped_points": (~valid_sorted).sum(),
+        }
+    return out
 
 
 def render_rays(
@@ -250,6 +264,8 @@ def render_rays(
     out.update(rgb=fine["rgb"], depth=fine["depth"], acc=fine["acc"],
                rgb_coarse=rgb_map_c, depth_coarse=depth_map_c,
                acc_coarse=acc_map_c)
+    if "ess_stats" in fine:
+        out["ess_stats"] = fine["ess_stats"]
     return out
 
 

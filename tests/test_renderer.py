@@ -228,3 +228,34 @@ def test_golden_render_values():
         rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(out["acc"]), [1.0, 1.0, 0.0], atol=1e-6)
+
+
+def test_ess_verbose_stats():
+    """fast_sampling + ess_verbose exposes the reference's ESS/ERT debug
+    statistics (volume_renderer.py:198-244) as outputs."""
+    import jax
+
+    from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+        RenderSettings,
+        render_rays,
+    )
+
+    class Field:
+        def apply(self, params, pts, viewdirs, model=""):
+            sigma = jnp.where(jnp.linalg.norm(pts, axis=-1) < 0.8, 30.0, 0.0)
+            return jnp.concatenate(
+                [pts, sigma[..., None]], axis=-1)
+
+    apply_fn = lambda p, pts, vd, m: Field().apply(p, pts, vd, m)
+    s = RenderSettings(N_samples=16, N_importance=16, fast_sampling=True,
+                       ess_verbose=True)
+    ro = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), (32, 1))
+    rd = jax.random.normal(jax.random.key(0), (32, 3)) * 0.3 + jnp.array(
+        [0.0, 0.0, -1.0])
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    out = render_rays(apply_fn, None, ro, rd, None, s, train=False)
+    st = out["ess_stats"]
+    assert int(st["total_rays"]) == 32
+    assert 0 <= int(st["empty_rays"]) <= 32
+    assert 0.0 <= float(st["valid_fine_frac"]) <= 1.0
+    assert int(st["skipped_points"]) >= 0
