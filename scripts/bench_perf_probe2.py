@@ -158,6 +158,22 @@ def main():
             emit({"probe": "mlp_pallas_tflops", "tile": tile,
                   "tflops_per_s": round(N_PTS * FLOPS_PT / dt / 1e12, 1)})
 
+    if has("mlp_pallas_enc"):
+        from nerf_replication_tpu.ops.pallas.mlp_kernel import (
+            fused_nerf_mlp_enc, pack_nerf_params)
+        packed = pack_nerf_params(params["params"]["coarse"], 63, 27)
+        p3 = pts.reshape(-1, 3)
+        d3 = jnp.broadcast_to(dirs, pts.shape).reshape(-1, 3)
+        for tile in (2048, 4096):
+            def f(a, b, c, t=tile):
+                return fused_nerf_mlp_enc(packed, a + c, b, 10, 4,
+                                          tile_n=t).sum()
+
+            dt = loop_timed(f, (p3, d3), "mlp_pallas_enc",
+                            {"tile": tile, "pts": N_PTS})
+            emit({"probe": "mlp_pallas_enc_tflops", "tile": tile,
+                  "tflops_per_s": round(N_PTS * FLOPS_PT / dt / 1e12, 1)})
+
     if has("sample_pdf"):
         from nerf_replication_tpu.ops.ray_ops import sample_pdf
         bins = jnp.linspace(2.0, 6.0, S - 1)[None].repeat(N_RAYS, 0)

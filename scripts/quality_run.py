@@ -83,6 +83,8 @@ def main():
     cfg.test_dataset.data_root = scene_root
     for ds in (cfg.train_dataset, cfg.test_dataset):
         ds.H = ds.W = size
+    if os.environ.get("QR_MAX_EPOCH"):
+        cfg.train.epoch = int(os.environ["QR_MAX_EPOCH"])
     if size <= 128:  # CPU smoke settings
         cfg.task_arg.update({"N_rays": 128, "N_samples": 16,
                              "N_importance": 16, "ray_chunk": 2048,
@@ -94,6 +96,16 @@ def main():
     trainer = make_trainer(cfg, net)
     recorder = make_recorder(cfg)
     state = trainer.init_state(params)
+
+    start_epoch = 0
+    if os.environ.get("QR_RESUME", "0") == "1":
+        from nerf_replication_tpu.utils.ckpt_utils import load_model
+        payload = load_model(cfg.trained_model_dir, resume=True)
+        if payload is not None:
+            state = {"params": payload["net"], "opt_state": payload["optim"],
+                     "step": payload["scheduler"].get("step", 0)}
+            start_epoch = payload["epoch"] + 1
+            print(f"resumed from epoch {payload['epoch']}", flush=True)
 
     train_ds = Dataset(cfg, **{**cfg.train_dataset, "split": "train"})
     images, poses, K = train_ds.as_arrays()
@@ -125,8 +137,9 @@ def main():
 
     train_s = 0.0
     emit({"event": "start", "budget_s": budget_s,
-          "n_train_views": len(train_ds.images), "H": H, "W": W})
-    epoch = 0
+          "n_train_views": len(train_ds.images), "H": H, "W": W,
+          "start_epoch": start_epoch})
+    epoch = start_epoch
     while train_s < budget_s and epoch < int(cfg.train.epoch):
         t0 = time.time()
         state = trainer.train_device(epoch, pipeline, state, recorder)
