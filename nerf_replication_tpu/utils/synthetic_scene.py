@@ -56,7 +56,16 @@ HARD_SPHERES = [
      0.50, (105.0, 130.0, 88.0), (0.9, 2.2, 1.6)),
 ]
 
-SCENES = {"probe": DEFAULT_SPHERES, "hard": HARD_SPHERES}
+# "med": the same geometry at lego-class texture frequencies (finest
+# period ~20 px at 800² — comparable to lego's brick detail), the
+# closest stand-in for the lego quality claim; "hard" stresses beyond it
+MED_SPHERES = [
+    (c, r, col, dens, amp, tuple(f * 0.4 for f in freq), ph)
+    for (c, r, col, dens, amp, freq, ph) in HARD_SPHERES
+]
+
+SCENES = {"probe": DEFAULT_SPHERES, "hard": HARD_SPHERES,
+          "med": MED_SPHERES}
 CAMERA_ANGLE_X = 0.6911112070083618  # matches blender lego fov
 
 

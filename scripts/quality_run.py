@@ -67,13 +67,14 @@ def main():
     n_train = int(os.environ.get("QR_TRAIN_VIEWS", "100"))
     scene_root = os.environ.get(
         "QR_SCENE_ROOT", os.path.join(ROOT, "data", "synthetic"))
+    scene = os.environ.get("QR_SCENE", "hard")
 
-    scene_dir = os.path.join(scene_root, "hard")
+    scene_dir = os.path.join(scene_root, scene)
     if not os.path.exists(os.path.join(scene_dir, "transforms_train.json")):
-        print(f"generating hard scene ({size}x{size}, {n_train} train "
-              "views)...", flush=True)
+        print(f"generating {scene} scene ({size}x{size}, {n_train} "
+              "train views)...", flush=True)
         t0 = time.time()
-        generate_scene(scene_root, scene="hard", H=size, W=size,
+        generate_scene(scene_root, scene=scene, H=size, W=size,
                        n_train=n_train, n_val=4, n_test=8)
         print(f"scene generated in {time.time() - t0:.0f}s", flush=True)
 
@@ -81,6 +82,10 @@ def main():
                         default_cfg())
     cfg.train_dataset.data_root = scene_root
     cfg.test_dataset.data_root = scene_root
+    cfg.scene = scene
+    cfg.exp_name = scene
+    cfg.trained_model_dir = os.path.join(
+        "data/trained_model/nerf-replication", scene, scene)
     for ds in (cfg.train_dataset, cfg.test_dataset):
         ds.H = ds.W = size
     if os.environ.get("QR_MAX_EPOCH"):
@@ -155,14 +160,14 @@ def main():
     save_model(unwrap(state), state["opt_state"], sched_state,
                recorder.state_dict(), epoch - 1, cfg.trained_model_dir,
                latest=True)
-    save_pretrain(unwrap(state), "hard",
-                  model_dir=os.path.join(ROOT, "data", "pretrain", "hard"))
+    save_pretrain(unwrap(state), scene,
+                  model_dir=os.path.join(ROOT, "data", "pretrain", scene))
 
     # final: full test-split metrics (uint8 PSNR + win-7 SSIM, reference
     # definitions) over all 8 test views at 800x800
     test_ds = Dataset(cfg, **{**cfg.test_dataset, "split": "test"})
     psnrs, ssims = [], []
-    os.makedirs(os.path.join(ROOT, "result", "hard"), exist_ok=True)
+    os.makedirs(os.path.join(ROOT, "result", scene), exist_ok=True)
     for i, (img, pose) in enumerate(zip(test_ds.images, test_ds.poses)):
         tro, trd = rays_for_camera(pose, test_ds.H, test_ds.W, test_ds.focal)
         out = renderer.render_image_fast(
@@ -174,7 +179,7 @@ def main():
         ssims.append(ssim(p8, g8, win_size=7, channel_axis=2))
         from PIL import Image
         Image.fromarray(p8).save(
-            os.path.join(ROOT, "result", "hard", f"test{i}_pred.png"))
+            os.path.join(ROOT, "result", scene, f"test{i}_pred.png"))
         emit({"test_view": i, "psnr": round(psnrs[-1], 2),
               "ssim": round(float(ssims[-1]), 4)})
     emit({"event": "final", "train_s": round(train_s, 1),
