@@ -25,7 +25,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(ROOT, "result", "quality_run.jsonl")
+# smoke runs with a custom scene root keep their logs there, away from
+# the real result/quality_run.jsonl
+_BASE = os.environ.get("QR_SCENE_ROOT", os.path.join(ROOT, "data"))
+OUT = (os.path.join(ROOT, "result", "quality_run.jsonl")
+       if _BASE.startswith(ROOT) else
+       os.path.join(_BASE, "quality_run.jsonl"))
 
 
 def emit(rec):
