@@ -346,6 +346,10 @@ class Renderer:
         fused = make_fused_apply(self.net, params)
         if fused is None:
             return False
+        # eval paths built AFTER this call (frame renderers, chunk fns)
+        # all route through the kernel; the training path keeps the
+        # differentiable XLA apply captured at __init__
+        self.apply_fn = fused
         self._build_eval_chunk_fns(fused)
         return True
 

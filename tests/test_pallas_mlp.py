@@ -128,3 +128,31 @@ def test_make_fused_apply_rejects_noncanonical(flagship):
     net = make_network(cfg)
     params = init_params(net, jax.random.key(0))
     assert make_fused_apply(net, params) is None
+
+
+def test_frame_renderer_uses_fused_apply(flagship, monkeypatch):
+    """enable_fused_mlp must route the FRAME renderer (the bench path)
+    through the kernel, not just the chunk renderers."""
+    monkeypatch.setenv("PALLAS_INTERPRET", "1")
+    import numpy as np
+
+    from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+        Renderer,
+        RenderSettings,
+    )
+    from nerf_replication_tpu.utils.synthetic_scene import look_at_pose
+
+    net, params = flagship
+    s = RenderSettings(N_samples=4, N_importance=4, ray_chunk=32)
+    r = Renderer(net, settings=s, mesh=None)
+    xla_apply = r.apply_fn
+    assert r.enable_fused_mlp(params)
+    assert r.apply_fn is not xla_apply
+
+    pose = look_at_pose(np.array([0.0, -4.0, 0.5], np.float32))
+    img = np.asarray(r.make_frame_renderer(8, 8, 8.0)(params,
+                                                      jnp.asarray(pose)))
+    r2 = Renderer(net, settings=s, mesh=None)
+    ref = np.asarray(r2.make_frame_renderer(8, 8, 8.0)(params,
+                                                       jnp.asarray(pose)))
+    np.testing.assert_allclose(img, ref, atol=0.02)
