@@ -175,3 +175,18 @@ def test_img_fit_dataset(scene_root):
     full = ds_test[0]
     assert full["uv"].shape == (40 * 40, 2)
     assert int(full["meta"]["H"]) == 40
+
+
+def test_make_data_loader_distributed_shards_disjointly(scene_root):
+    """is_distributed loaders at num_replicas=2 cover the test split with
+    disjoint (modulo padding) per-rank image ids — the reference's eval
+    sharding via DistributedSampler (samplers.py:75-131)."""
+    cfg = _cfg(scene_root)
+    ids = {}
+    for rank in range(2):
+        loader = make_data_loader(cfg, is_train=False, is_distributed=True,
+                                  num_replicas=2, rank=rank)
+        ids[rank] = [int(np.asarray(b["id"]).ravel()[0]) for b in loader]
+    n_views = len(make_data_loader(cfg, is_train=False))
+    assert len(ids[0]) == len(ids[1]) == -(-n_views // 2)
+    assert set(ids[0] + ids[1]) == set(range(n_views))
