@@ -120,8 +120,11 @@ def main():
                                 jnp.zeros((1, 1, 3)), "fine")[:, 0, 3])
 
         t0 = time.time()
-        grid, bbox = build_occupancy_grid(density_fn, params, resolution=64,
-                                          threshold=0.05, dilate=2)
+        grid, bbox = build_occupancy_grid(
+            density_fn, params,
+            resolution=int(os.environ.get("BENCH_OCC_RES", "64")),
+            threshold=float(os.environ.get("BENCH_OCC_THRESH", "0.05")),
+            dilate=2)
         print(f"occupancy grid: {float(grid.mean()):.3f} occupied, built "
               f"in {time.time() - t0:.1f}s", file=sys.stderr)
         occupancy = (grid, bbox)
@@ -129,11 +132,16 @@ def main():
     capacity = float(os.environ.get("BENCH_CAPACITY",
                                     "0.35" if occupancy else "0.5"))
     coarse_capacity = float(os.environ.get("BENCH_COARSE_CAPACITY", "0.4"))
-    frame_fn = renderer.make_frame_renderer(
-        H, W, focal=0.5 * W / np.tan(0.5 * 0.6911112070083618),
-        capacity=capacity if fast else 1.0,
-        coarse_capacity=coarse_capacity if fast else 1.0,
-        out_dtype=jnp.uint8, occupancy=occupancy, return_stats=True)
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
+
+    def build(cap, ccap):
+        return renderer.make_frame_renderer(
+            H, W, focal=focal,
+            capacity=cap if fast else 1.0,
+            coarse_capacity=ccap if fast else 1.0,
+            out_dtype=jnp.uint8, occupancy=occupancy, return_stats=True)
+
+    frame_fn = build(capacity, coarse_capacity)
 
     poses = [look_at_pose(np.array(
         [4.0 * np.cos(a), 4.0 * np.sin(a), 1.5], dtype=np.float32))
@@ -144,11 +152,27 @@ def main():
         # experimental tunneled backend (block_until_ready returns early)
         return np.asarray(x)
 
-    # warmup / compile
+    # warmup / compile; then right-size the static ray budgets to the
+    # measured scene coverage (BENCH_AUTOCAP=0 keeps the env knobs)
     img, stats = frame_fn(params, jnp.asarray(poses[0]))
     fetch(img)
     stats = {k: int(v) for k, v in stats.items()}
     print(f"frame stats: {stats}", file=sys.stderr)
+    if (occupancy is not None and fast
+            and os.environ.get("BENCH_AUTOCAP", "1") == "1"):
+        active_frac = stats["active_rays"] / (H * W)
+        new_ccap = min(1.0, active_frac * 1.15 + 0.02)
+        new_cap = min(new_ccap, active_frac * 1.10 + 0.02)
+        if abs(new_ccap - coarse_capacity) > 0.03 or \
+                abs(new_cap - capacity) > 0.03:
+            print(f"autocap: active {active_frac:.3f} -> coarse "
+                  f"{new_ccap:.2f}, fine {new_cap:.2f}", file=sys.stderr)
+            capacity, coarse_capacity = new_cap, new_ccap
+            frame_fn = build(capacity, coarse_capacity)
+            img, stats = frame_fn(params, jnp.asarray(poses[0]))
+            fetch(img)
+            stats = {k: int(v) for k, v in stats.items()}
+            print(f"frame stats: {stats}", file=sys.stderr)
     if stats.get("coarse_overflow", 0) or stats.get("fine_overflow", 0):
         print("WARNING: capacity overflow — some real rays rendered "
               "coarse-only or as background; raise BENCH_CAPACITY/"

@@ -478,11 +478,12 @@ class Renderer:
         chunk = min(s.ray_chunk, n)
         n_pad = (-n) % chunk
         n_full = n + n_pad
-        k = int(n_full * capacity)
-        k = max(chunk, (k // chunk) * chunk)
+        # budgets round UP to whole chunks (capped at n_full) so a
+        # requested margin is never silently floored away
+        k = min(n_full, -(-int(n_full * capacity) // chunk) * chunk)
         k1 = int(n_full * (coarse_capacity if coarse_capacity is not None
                            else min(1.0, capacity * 1.5)))
-        k1 = max(chunk, min((k1 // chunk) * chunk, n_full))
+        k1 = min(n_full, -(-k1 // chunk) * chunk)
         k1 = max(k1, k)
         apply_fn = self.apply_fn
 
