@@ -280,3 +280,51 @@ def test_motion2d_deformation_gets_gradients():
     assert mlp_kernels, list(g["params"])
     assert any(np.abs(k).max() > 0 for k in mlp_kernels), (
         "deformation MLP receives zero gradient — input_grad path broken")
+
+
+def test_fused_encode_matches_numpy_oracle():
+    """Independent per-point numpy reimplementation of the multi-level
+    hash interpolation (hash, dense indexing, trilinear weights) — guards
+    the shared _indices_weights helper itself."""
+    from nerf_replication_tpu.models.encoding.hashgrid import (
+        _PRIMES, _level_layout, hash_encode)
+
+    D, L, log2, base = 3, 3, 10, 4
+    scales, offsets, use_hash, T = _level_layout(D, L, log2, base, -1, 2.0)
+    layout = (tuple(scales), tuple(offsets), tuple(use_hash), T, D, 2,
+              False, True)
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=(offsets[-1], 2)).astype(np.float32)
+    x = rng.uniform(0, 1, (20, 3)).astype(np.float32)
+
+    got = np.asarray(hash_encode(layout, jnp.asarray(table),
+                                 jnp.asarray(x)))
+
+    want = np.zeros((20, L * 2), np.float32)
+    for n in range(20):
+        for l, res in enumerate(scales):
+            pos = x[n] * res
+            b = np.floor(pos).astype(np.int64)
+            f = pos - b
+            acc = np.zeros(2, np.float64)
+            for cx in (0, 1):
+                for cy in (0, 1):
+                    for cz in (0, 1):
+                        c = np.minimum(np.maximum(
+                            b + [cx, cy, cz], 0), res)
+                        if use_hash[l]:
+                            h = np.uint32(c[0])
+                            h ^= np.uint32(np.uint32(c[1]) *
+                                           np.uint32(_PRIMES[1]))
+                            h ^= np.uint32(np.uint32(c[2]) *
+                                           np.uint32(_PRIMES[2]))
+                            idx = int(h % np.uint32(T))
+                        else:
+                            idx = int((c[0] * (res + 1) + c[1])
+                                      * (res + 1) + c[2])
+                        w = ((f[0] if cx else 1 - f[0])
+                             * (f[1] if cy else 1 - f[1])
+                             * (f[2] if cz else 1 - f[2]))
+                        acc += w * table[idx + offsets[l]]
+            want[n, 2 * l: 2 * l + 2] = acc
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
