@@ -358,8 +358,6 @@ class Renderer:
         ``settings.ray_chunk`` granularity; tiling/padding/assembly run in
         host numpy so the only device work is the pre-jitted chunk render
         (eager device ops cost ~1s each through the tunneled backend)."""
-        import numpy as np
-
         if train:
             return self._render_train(params, rays_o, rays_d, key)
         rays_o = np.asarray(rays_o)
