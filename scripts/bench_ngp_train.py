@@ -50,6 +50,8 @@ def main():
     if os.environ.get("BENCH_NGP_DTYPE"):
         cfg.network.xyz_encoder["compute_dtype"] = \
             os.environ["BENCH_NGP_DTYPE"]
+    if os.environ.get("BENCH_NGP_SCAN"):
+        cfg.scan_chunk = int(os.environ["BENCH_NGP_SCAN"])
 
     net = make_network(cfg)
     params = init_params(net, jax.random.key(0))
