@@ -115,7 +115,7 @@ def main():
 
     # -- render components -----------------------------------------------------
     need_net = any(has(p) for p in ("mlp_xla", "mlp_pallas", "encode",
-                                    "chunk_dense"))
+                                    "chunk_dense", "mlp_pallas_enc"))
     if need_net:
         from __graft_entry__ import _flagship
         cfg, net, params, settings, apply_fn = _flagship()
