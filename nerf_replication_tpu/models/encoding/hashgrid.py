@@ -149,17 +149,27 @@ def _encode_bwd(layout, res, g):
     n = x.shape[0]
     idx, w = _indices_weights(layout, x)                 # recomputed (cheap)
     g4 = g.reshape(n, L, 1, F)
-    u = (w.reshape(n, L, C, 1) * g4).reshape(-1, F)      # (M, F)
-    ids = idx.reshape(-1)
+    u3 = w.reshape(n, L, C, 1) * g4                      # (N, L, C, F)
     if sorted_bwd:
-        # sort + segmented reduction: the scatter-add indices become
-        # sorted, which XLA reduces without per-row serialization
-        order = jnp.argsort(ids)
+        # level-batched multi-operand sort + ONE flat segment-sum:
+        # * per-level ids live in [offset_l, offset_{l+1}), so the
+        #   level-major concatenation of per-level-sorted ids is GLOBALLY
+        #   sorted — no flat 15M-element sort needed;
+        # * lax.sort carries the gradient rows as extra operands, so
+        #   there is no post-sort gather of the update rows.
+        ids3 = idx.reshape(n, L, C).transpose(1, 0, 2).reshape(L, n * C)
+        u_lvl = u3.transpose(1, 0, 2, 3).reshape(L, n * C, F)
+        ops = jax.lax.sort(
+            (ids3,) + tuple(u_lvl[..., f] for f in range(F)),
+            dimension=-1, num_keys=1)
+        ids_sorted = ops[0].reshape(-1)
+        u_sorted = jnp.stack([o.reshape(-1) for o in ops[1:]], axis=-1)
         dtable = jax.ops.segment_sum(
-            u[order], ids[order], num_segments=table.shape[0],
+            u_sorted, ids_sorted, num_segments=table.shape[0],
             indices_are_sorted=True)
     else:
-        dtable = jnp.zeros((table.shape[0], F), u.dtype).at[ids].add(u)
+        dtable = jnp.zeros((table.shape[0], F), u3.dtype).at[
+            idx.reshape(-1)].add(u3.reshape(-1, F))
     dtable = dtable.astype(table.dtype)
 
     if not input_grad:
@@ -167,7 +177,7 @@ def _encode_bwd(layout, res, g):
 
     # analytic d(out)/dx through the interpolation weights
     # (hashencoder.cu:275-297): w = prod_d (corner_d ? frac_d : 1-frac_d)
-    vals = jnp.take(table, ids, axis=0).reshape(n, L, C, F)
+    vals = jnp.take(table, idx.reshape(-1), axis=0).reshape(n, L, C, F)
     vg = (vals.astype(jnp.float32) * g4).sum(-1)         # (N, L, C) dL/dw
     corners = jnp.asarray(_corners(D))                   # (C, D)
     dx = jnp.zeros_like(x)

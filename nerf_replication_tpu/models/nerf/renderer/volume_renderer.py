@@ -495,6 +495,16 @@ class Renderer:
             r = occ_grid.shape[0]
             cell = max((occ_bbox[3 + d] - occ_bbox[d]) / r for d in range(3))
             n_probe = int(np.ceil((s.far - s.near) / cell)) + 1
+            # probe on a subsampled pixel lattice: neighbouring rays
+            # diverge by at most q px, i.e. far*q/focal in world units —
+            # sound as long as that stays under the grid's dilation
+            # margin (>= 1 cell of the >=2-cell dilation is reserved for
+            # the probe step itself). Cuts probe gathers q^2 x.
+            occ_sub = 1
+            for q in (4, 2):
+                if q * s.far / focal <= cell and H % q == 0 and W % q == 0:
+                    occ_sub = q
+                    break
 
         def fn(params, c2w):
             us, vs = jnp.meshgrid(
@@ -521,34 +531,54 @@ class Renderer:
                 return (out["rgb"].reshape(m, 3), out["acc"].reshape(m),
                         out["weights"].reshape(m, s.N_samples))
 
+            bg = 1.0 if s.white_bkgd else 0.0
             if occupancy is None:
-                rgb_c, acc_c, w_c = coarse_chunks(ro, rd)
+                sel1 = None                     # coarse set = all rays
+                rgb1, acc1, w1 = coarse_chunks(ro, rd)
+                k1_eff = n_full
                 stats["coarse_rays"] = jnp.int32(n_full)
             else:
+                # probe on the subsampled lattice (occ_sub px spacing; see
+                # soundness note above), then broadcast to full res
                 t_probe = jnp.linspace(s.near, s.far, n_probe)
-                pad_live = jnp.arange(n_full) < n
-                active = rays_active(ro, rd, t_probe, occ_grid, occ_bbox)
-                active = active & pad_live
+                if occ_sub > 1:
+                    sub = rays_d.reshape(H, W, 3)[occ_sub // 2::occ_sub,
+                                                  occ_sub // 2::occ_sub]
+                    act = rays_active(
+                        jnp.broadcast_to(c2w[:3, 3], sub.reshape(-1, 3).shape),
+                        sub.reshape(-1, 3), t_probe, occ_grid, occ_bbox)
+                    act = jnp.repeat(jnp.repeat(
+                        act.reshape(H // occ_sub, W // occ_sub),
+                        occ_sub, axis=0), occ_sub, axis=1).reshape(-1)
+                    active = jnp.pad(act, (0, n_pad))
+                else:
+                    active = rays_active(ro, rd, t_probe, occ_grid,
+                                         occ_bbox)
+                    active = active & (jnp.arange(n_full) < n)
                 order1 = jnp.argsort(~active)       # actives first, stable
                 sel1 = order1[:k1]
-                rgb1, acc1, w1 = coarse_chunks(ro[sel1], rd[sel1])
-                # inactive/uncovered rays: pure background
-                bg = 1.0 if s.white_bkgd else 0.0
-                rgb_c = jnp.full((n_full, 3), bg).at[sel1].set(rgb1)
-                acc_c = jnp.zeros((n_full,)).at[sel1].set(acc1)
-                w_c = jnp.zeros((n_full, s.N_samples)).at[sel1].set(w1)
+                rgb1, acc1, w1 = coarse_chunks(
+                    jnp.take(ro, sel1, axis=0, unique_indices=True),
+                    jnp.take(rd, sel1, axis=0, unique_indices=True))
+                k1_eff = k1
                 n_active = active.sum()
                 stats["active_rays"] = n_active
                 stats["coarse_overflow"] = jnp.maximum(n_active - k1, 0)
                 stats["coarse_rays"] = jnp.int32(k1)
 
-            # padded rays get acc 0 -> sorted last
-            order = jnp.argsort(-acc_c)
-            sel = order[:k]
+            # fine selection among the COARSE SURVIVORS (k1 rows — never
+            # scattered back to full size): top-k by coarse opacity.
+            # Padding-filler rays are forced to acc 0 so they sort last
+            # (their ray data is garbage and must not win fine slots).
+            k_eff = min(k, k1_eff)
+            live1 = (jnp.arange(n_full) < n) if sel1 is None else (sel1 < n)
+            acc1 = jnp.where(live1, acc1, 0.0)
+            order2 = jnp.argsort(-acc1)
+            sel2 = order2[:k_eff]
             # rays with real opacity beyond the fine budget render
             # coarse-only; report how many
             stats["fine_overflow"] = jnp.maximum(
-                (acc_c > 1e-3).sum() - k, 0)
+                (acc1 > 1e-3).sum() - k_eff, 0)
 
             # fine pass reuses the SAVED coarse weights: the coarse MLP is
             # not re-evaluated for survivors (saves N_samples/(N_samples +
@@ -562,12 +592,26 @@ class Renderer:
                 return fine_stage(apply_fn, params, cro, crd, vd, t_coarse,
                                   cw, None, None, s, train=False)["rgb"]
 
+            sel_full = (sel2 if sel1 is None else
+                        jnp.take(sel1, sel2, unique_indices=True))
             fine = jax.lax.map(
                 fine_chunk,
-                (ro[sel].reshape(-1, chunk, 3),
-                 rd[sel].reshape(-1, chunk, 3),
-                 w_c[sel].reshape(-1, chunk, s.N_samples)))
-            rgb = rgb_c.at[sel].set(fine.reshape(k, 3))[:n]
+                (jnp.take(ro, sel_full, axis=0,
+                          unique_indices=True).reshape(-1, chunk, 3),
+                 jnp.take(rd, sel_full, axis=0,
+                          unique_indices=True).reshape(-1, chunk, 3),
+                 jnp.take(w1, sel2, axis=0,
+                          unique_indices=True).reshape(-1, chunk,
+                                                       s.N_samples)))
+            # assemble: background -> coarse composite for the coarse set
+            # -> fine for the fine set (row scatters with unique indices)
+            if sel1 is None:
+                rgb = rgb1
+            else:
+                rgb = jnp.full((n_full, 3), bg).at[sel1].set(
+                    rgb1, unique_indices=True)
+            rgb = rgb.at[sel_full].set(fine.reshape(k_eff, 3),
+                                       unique_indices=True)[:n]
             if out_dtype == jnp.uint8:
                 rgb = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0
                                 ).astype(jnp.uint8)
