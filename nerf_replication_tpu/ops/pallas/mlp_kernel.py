@@ -276,6 +276,141 @@ def fused_nerf_mlp_enc(packed: dict, pts: jnp.ndarray, dirs: jnp.ndarray,
     return out[:n, :4]
 
 
+def fused_nerf_mlp_enc_t(packed: dict, pts_t: jnp.ndarray,
+                         dirs_t: jnp.ndarray, xyz_freqs: int,
+                         view_freqs: int, tile_n: int = 2048,
+                         interpret: bool | None = None):
+    """Transposed-layout fused encode+MLP: (3, N) points/dirs ->
+    (N, 4) float32 raw. Lane-dense I/O on every operand."""
+    import os
+
+    if interpret is None:
+        interpret = os.environ.get("PALLAS_INTERPRET", "0") == "1"
+    depth, skip = int(packed["_meta"][2]), int(packed["_meta"][3])
+    n = pts_t.shape[1]
+    n_full = -(-n // tile_n) * tile_n
+
+    p = jnp.pad(pts_t.astype(jnp.float32), ((0, 0), (0, n_full - n)))
+    d = jnp.pad(dirs_t.astype(jnp.float32), ((0, 0), (0, n_full - n)))
+
+    weight_names = ["w0t", "b0"]
+    for i in range(1, depth):
+        if i == skip + 1:
+            weight_names += [f"w{i}xt", f"w{i}h"]
+        else:
+            weight_names += [f"w{i}"]
+        weight_names += [f"b{i}"]
+    weight_names += ["w_af", "b_af", "wv_f", "wv_dt", "bv", "w_rgb",
+                     "b_rgb"]
+    weights = [packed[k] for k in weight_names]
+
+    in_dim = 3 * (1 + 2 * xyz_freqs)
+    view_dim = 3 * (1 + 2 * view_freqs)
+
+    def kernel(p_ref, d_ref, *rest):
+        out_ref = rest[-1]
+        wrefs = dict(zip(weight_names, rest[:-1]))
+
+        def feat_t(x3, n_freqs, rows):
+            planes = [x3]
+            for i in range(n_freqs):
+                xb = x3 * (2.0 ** i)
+                planes.append(jnp.sin(xb))
+                planes.append(jnp.cos(xb))
+            ft = jnp.concatenate(planes, axis=0)
+            pad = rows - ft.shape[0]
+            if pad:
+                ft = jnp.pad(ft, ((0, pad), (0, 0)))
+            return ft.astype(jnp.bfloat16)
+
+        xT = feat_t(p_ref[...], xyz_freqs, wrefs["w0t"].shape[0])
+        vT = feat_t(d_ref[...], view_freqs, wrefs["wv_dt"].shape[0])
+
+        f32 = jnp.float32
+        dn_t = (((0,), (0,)), ((), ()))
+        h = jnp.maximum(
+            jax.lax.dot_general(xT, wrefs["w0t"][...], dn_t,
+                                preferred_element_type=f32)
+            + wrefs["b0"][...], 0.0)
+        for i in range(1, depth):
+            if i == skip + 1:
+                acc = (jax.lax.dot_general(
+                    xT, wrefs[f"w{i}xt"][...], dn_t,
+                    preferred_element_type=f32)
+                    + jnp.dot(h.astype(jnp.bfloat16), wrefs[f"w{i}h"][...],
+                              preferred_element_type=f32))
+            else:
+                acc = jnp.dot(h.astype(jnp.bfloat16), wrefs[f"w{i}"][...],
+                              preferred_element_type=f32)
+            h = jnp.maximum(acc + wrefs[f"b{i}"][...], 0.0)
+
+        af = jnp.dot(h.astype(jnp.bfloat16), wrefs["w_af"][...],
+                     preferred_element_type=f32) + wrefs["b_af"][...]
+        feat = af[:, :256]
+        sigma = af[:, 256:257]
+        g = jnp.maximum(
+            jnp.dot(feat.astype(jnp.bfloat16), wrefs["wv_f"][...],
+                    preferred_element_type=f32)
+            + jax.lax.dot_general(vT, wrefs["wv_dt"][...], dn_t,
+                                  preferred_element_type=f32)
+            + wrefs["bv"][...], 0.0)
+        rgb = jnp.dot(g.astype(jnp.bfloat16), wrefs["w_rgb"][...],
+                      preferred_element_type=f32) + wrefs["b_rgb"][...]
+        out = jnp.concatenate([rgb[:, :3], sigma], axis=1)
+        out_ref[...] = jnp.pad(out, ((0, 0), (0, out_ref.shape[1] - 4)))
+
+    OUT_W = _LANE
+    grid = (n_full // tile_n,)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *[full(wt) for wt in weights],
+        ],
+        out_specs=pl.BlockSpec((tile_n, OUT_W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_full, OUT_W), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_full * (64 * 256 + 6 * 256 * 256 +
+                                (64 + 256) * 256 + 256 * 384 +
+                                (256 + 32) * 128 + 128 * 128),
+            bytes_accessed=n_full * 6 * 4 + n_full * OUT_W * 4,
+            transcendentals=n_full * (in_dim + view_dim - 6),
+        ),
+        interpret=interpret,
+    )(p, d, *weights)
+    return out[:n, :4]
+
+
+def pack_nerf_params_t(branch_params: dict, in_dim: int, view_dim: int,
+                       width: int = 256, depth: int = 8, skips=(4,),
+                       dtype=jnp.bfloat16) -> dict:
+    """Weight pack for the transposed enc kernel: feature-indexed rows
+    pad to the SUBLANE granularity (8), not the lane granularity (128)
+    — the transposed-lhs matmuls contract over sublanes, so in_dim 63
+    costs a 64-row matmul instead of 128."""
+    base = pack_nerf_params(branch_params, in_dim, view_dim, width=width,
+                            depth=depth, skips=skips, dtype=dtype)
+    skip = skips[0]
+    row8 = lambda d: -(-d // 8) * 8
+
+    def w(name):
+        return branch_params[name]["kernel"].astype(jnp.float32)
+
+    base["w0t"] = _pad_to(w("pts_0"), rows=row8(in_dim)).astype(dtype)
+    base[f"w{skip + 1}xt"] = _pad_to(
+        w(f"pts_{skip + 1}")[:in_dim], rows=row8(in_dim)).astype(dtype)
+    base["wv_dt"] = _pad_to(w("views_0")[width:],
+                            rows=row8(view_dim)).astype(dtype)
+    return base
+
+
 def make_fused_apply(net, params):
     """Build an eval apply_fn(params_ignored, pts, viewdirs, model) that
     routes the MLP through the Pallas kernel (encoders run in XLA).
@@ -300,8 +435,8 @@ def make_fused_apply(net, params):
     try:
         in_dim = xyz_enc.output_dim
         view_dim = dir_enc.output_dim
-        packed = {m: pack_nerf_params(mlps[m], in_dim, view_dim,
-                                      depth=depth, skips=skips)
+        packed = {m: pack_nerf_params_t(mlps[m], in_dim, view_dim,
+                                        depth=depth, skips=skips)
                   for m in ("coarse", "fine")}
     except (AssertionError, KeyError):
         return None
@@ -322,8 +457,10 @@ def make_fused_apply(net, params):
         dirs = jnp.broadcast_to(viewdirs, shape + (3,)).reshape(-1, 3)
         branch = "fine" if model == "fine" else "coarse"
         if freq_fused:
-            raw = fused_nerf_mlp_enc(packed[branch], pts_flat, dirs,
-                                     xyz_enc.n_freqs, dir_enc.n_freqs)
+            # transposed (3, N) feeds: lane-dense DMA into the kernel
+            # (XLA fuses the transpose into the pts/dirs producers)
+            raw = fused_nerf_mlp_enc_t(packed[branch], pts_flat.T, dirs.T,
+                                       xyz_enc.n_freqs, dir_enc.n_freqs)
         else:
             raw = fused_nerf_mlp(packed[branch], xyz_enc(pts_flat),
                                  dir_enc(dirs))

@@ -115,7 +115,8 @@ def main():
 
     # -- render components -----------------------------------------------------
     need_net = any(has(p) for p in ("mlp_xla", "mlp_pallas", "encode",
-                                    "chunk_dense", "mlp_pallas_enc"))
+                                    "chunk_dense", "mlp_pallas_enc",
+                                    "mlp_pallas_enc_t"))
     if need_net:
         from __graft_entry__ import _flagship
         cfg, net, params, settings, apply_fn = _flagship()
@@ -172,6 +173,22 @@ def main():
             dt = loop_timed(f, (p3, d3), "mlp_pallas_enc",
                             {"tile": tile, "pts": N_PTS})
             emit({"probe": "mlp_pallas_enc_tflops", "tile": tile,
+                  "tflops_per_s": round(N_PTS * FLOPS_PT / dt / 1e12, 1)})
+
+    if has("mlp_pallas_enc_t"):
+        from nerf_replication_tpu.ops.pallas.mlp_kernel import (
+            fused_nerf_mlp_enc_t, pack_nerf_params_t)
+        packed = pack_nerf_params_t(params["params"]["coarse"], 63, 27)
+        p3 = pts.reshape(-1, 3)
+        d3 = jnp.broadcast_to(dirs, pts.shape).reshape(-1, 3)
+        for tile in (2048, 4096):
+            def f(a, b, c, t=tile):
+                return fused_nerf_mlp_enc_t(packed, (a + c).T, b.T, 10, 4,
+                                            tile_n=t).sum()
+
+            dt = loop_timed(f, (p3, d3), "mlp_pallas_enc_t",
+                            {"tile": tile, "pts": N_PTS})
+            emit({"probe": "mlp_pallas_enc_t_tflops", "tile": tile,
                   "tflops_per_s": round(N_PTS * FLOPS_PT / dt / 1e12, 1)})
 
     if has("sample_pdf"):

@@ -85,6 +85,37 @@ def test_frame_renderer_occupancy_matches_dense():
                                atol=1e-5)
 
 
+def test_frame_renderer_subsampled_probe_matches_dense():
+    """At production-like focal lengths the occupancy probe runs on a
+    q-px-subsampled ray lattice (volume_renderer make_frame_renderer);
+    culled output must still match the dense render at full capacity."""
+    from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+        Renderer,
+        RenderSettings,
+    )
+
+    grid, bbox = build_occupancy_grid(_density, None, resolution=32,
+                                      threshold=0.5, dilate=2, chunk=4096)
+    s = RenderSettings(N_samples=8, N_importance=8, ray_chunk=1024,
+                       white_bkgd=True)
+    r = Renderer(SphereField(), settings=s, mesh=None)
+    H = W = 256  # focal ~356 -> 4*far/focal < cell -> occ_sub = 4
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
+    cell = 3.0 / 32
+    assert 4 * s.far / focal <= cell  # the subsampled branch is active
+    from nerf_replication_tpu.utils.synthetic_scene import look_at_pose
+    pose = jnp.asarray(look_at_pose(np.array([0.0, -4.0, 0.5], np.float32)))
+
+    f_dense = r.make_frame_renderer(H, W, focal, capacity=1.0)
+    f_occ = r.make_frame_renderer(H, W, focal, capacity=1.0,
+                                  occupancy=(grid, bbox),
+                                  coarse_capacity=1.0, return_stats=True)
+    img_dense = np.asarray(f_dense(None, pose))
+    img_occ, stats = f_occ(None, pose)
+    np.testing.assert_allclose(np.asarray(img_occ), img_dense, atol=1e-5)
+    assert 0 < int(stats["active_rays"]) < H * W
+
+
 def test_frame_renderer_uint8_output():
     from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
         Renderer,
