@@ -328,3 +328,72 @@ def test_fused_encode_matches_numpy_oracle():
                         acc += w * table[idx + offsets[l]]
             want[n, 2 * l: 2 * l + 2] = acc
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+# -- bricked Pallas backend (interpret mode on CPU) ---------------------------
+
+from nerf_replication_tpu.ops.pallas.hashgrid_kernel import (  # noqa: E402
+    brick_encode_reference,
+    brick_hash_encode,
+    compute_brick_ids,
+    make_brick_layout,
+)
+
+
+def test_brick_layout():
+    lay = make_brick_layout(4, 16, 128, log2_bricks=10)
+    assert lay.scales == (16, 32, 64, 128)
+    assert lay.bsides == (4, 8, 16, 32)
+    # 64, 512 dense; 4096 -> capped 1024 hash; 32768 -> capped hash
+    assert lay.use_hash == (False, False, True, True)
+    assert lay.offsets[1] - lay.offsets[0] == 128   # 64 -> 128-aligned
+    assert lay.offsets[3] - lay.offsets[2] == 1024
+
+
+def test_brick_ids_in_range():
+    lay = make_brick_layout(4, 16, 128, log2_bricks=10)
+    x = jax.random.uniform(jax.random.key(0), (256, 3))
+    bid = compute_brick_ids(lay, x)
+    assert bid.shape == (256, 4)
+    for l in range(4):
+        nl = lay.offsets[l + 1] - lay.offsets[l]
+        assert int(bid[:, l].min()) >= 0
+        assert int(bid[:, l].max()) < nl
+
+
+def test_brick_kernel_matches_reference():
+    lay = make_brick_layout(3, 8, 32, log2_bricks=9)
+    key = jax.random.key(0)
+    table = jax.random.uniform(key, (lay.n_rows, 256), jnp.float32, -1, 1)
+    x = jax.random.uniform(jax.random.key(1), (700, 3))
+    out_k = brick_hash_encode(lay, table, x)
+    out_r = brick_encode_reference(lay, table, x)
+    # mxu strategy computes in bf16
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_brick_kernel_grad_matches_reference():
+    lay = make_brick_layout(3, 8, 32, log2_bricks=9)
+    key = jax.random.key(0)
+    table = jax.random.uniform(key, (lay.n_rows, 256), jnp.float32, -1, 1)
+    x = jax.random.uniform(jax.random.key(1), (300, 3))
+
+    gk = jax.grad(lambda t: (brick_hash_encode(lay, t, x) ** 2).sum())(table)
+    gr = jax.grad(
+        lambda t: (brick_encode_reference(lay, t, x) ** 2).sum())(table)
+    denom = float(jnp.abs(gr).max())
+    assert float(jnp.abs(gk - gr).max()) / denom < 5e-2
+
+
+def test_brick_encoder_module():
+    enc = HashGridEncoder(input_dim=3, n_levels=3, n_features=2,
+                          base_resolution=8, finest_resolution=32,
+                          input_grad=False, backend="brick", log2_bricks=9)
+    x = jax.random.uniform(jax.random.key(0), (64, 3))
+    params = enc.init(jax.random.key(1), x)
+    out = enc.apply(params, x)
+    assert out.shape == (64, 6)
+    g = jax.grad(lambda p: (enc.apply(p, x) ** 2).sum())(params)
+    gt = g["params"]["table"]
+    assert bool(jnp.any(gt != 0))
