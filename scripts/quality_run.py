@@ -83,14 +83,14 @@ def main():
                        n_train=n_train, n_val=4, n_test=8)
         print(f"scene generated in {time.time() - t0:.0f}s", flush=True)
 
-    cfg = load_cfg_tree(os.path.join(ROOT, "configs/nerf/hard.yaml"),
-                        default_cfg())
+    cfg_file = os.environ.get("QR_CFG", "configs/nerf/hard.yaml")
+    cfg = load_cfg_tree(os.path.join(ROOT, cfg_file), default_cfg())
     cfg.train_dataset.data_root = scene_root
     cfg.test_dataset.data_root = scene_root
     cfg.scene = scene
-    cfg.exp_name = scene
+    cfg.exp_name = scene + ("_ngp" if "ngp" in cfg_file else "")
     cfg.trained_model_dir = os.path.join(
-        "data/trained_model/nerf-replication", scene, scene)
+        "data/trained_model/nerf-replication", scene, cfg.exp_name)
     for ds in (cfg.train_dataset, cfg.test_dataset):
         ds.H = ds.W = size
     if os.environ.get("QR_MAX_EPOCH"):
@@ -165,8 +165,9 @@ def main():
     save_model(unwrap(state), state["opt_state"], sched_state,
                recorder.state_dict(), epoch - 1, cfg.trained_model_dir,
                latest=True)
-    save_pretrain(unwrap(state), scene,
-                  model_dir=os.path.join(ROOT, "data", "pretrain", scene))
+    save_pretrain(unwrap(state), cfg.exp_name,
+                  model_dir=os.path.join(ROOT, "data", "pretrain",
+                                         cfg.exp_name))
 
     # final: full test-split metrics (uint8 PSNR + win-7 SSIM, reference
     # definitions) over all 8 test views at 800x800
