@@ -52,6 +52,11 @@ def main():
             os.environ["BENCH_NGP_DTYPE"]
     if os.environ.get("BENCH_NGP_SCAN"):
         cfg.scan_chunk = int(os.environ["BENCH_NGP_SCAN"])
+    if os.environ.get("BENCH_NGP_BACKEND"):
+        cfg.network.xyz_encoder["backend"] = os.environ["BENCH_NGP_BACKEND"]
+    if os.environ.get("BENCH_NGP_BRICKS"):
+        cfg.network.xyz_encoder["log2_bricks"] = \
+            int(os.environ["BENCH_NGP_BRICKS"])
 
     net = make_network(cfg)
     params = init_params(net, jax.random.key(0))
