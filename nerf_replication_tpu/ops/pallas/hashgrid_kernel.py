@@ -53,7 +53,10 @@ BRICK = 4          # cells per brick side
 BW = BRICK + 1     # vertices per brick side
 BV = BW ** 3       # vertices per brick (125)
 ROW = 256          # lanes per table row: [f0 x 125 pad | f1 x 125 pad]
-BLK = 512          # points per kernel block
+BLK = 512          # points per kernel block (mixed-strategy kernels)
+BLK_MXU = 1024     # block when every level uses the mxu strategy (no
+                   # SMEM ids / f32 table resident -> room for bigger
+                   # one-hot matmul tiles)
 MXU_MAX_ROWS = 4096   # levels at most this many rows use the mxu strategy
 _PRIMES = (1, 2654435761, 805459861)
 
@@ -151,16 +154,21 @@ def _level_geometry(pts_x, pts_y, pts_z, res, lane):
     return li, w
 
 
-def _onehot(bid_col, n_rows):
+def _onehot(bid_col, n_rows, blk):
     """bid (B, 1) int32 -> one-hot (B, n_rows) bf16."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (BLK, n_rows), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (blk, n_rows), 1)
     return (r == bid_col).astype(jnp.bfloat16)
 
 
-def _fwd_kernel(layout, bidv_ref, bids_ref, pts_ref, table_ref, tbf_ref,
-                out_ref, buf_ref):
+def _fwd_kernel(layout, blk, *refs):
     strategies = _strategies(layout)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
+    mixed = "scalar" in strategies
+    if mixed:
+        bidv_ref, bids_ref, pts_ref, table_ref, tbf_ref, out_ref, \
+            buf_ref = refs
+    else:
+        bidv_ref, pts_ref, tbf_ref, out_ref, buf_ref = refs
+    lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
     px = pts_ref[:, 0:1]
     py = pts_ref[:, 1:2]
     pz = pts_ref[:, 2:3]
@@ -168,7 +176,7 @@ def _fwd_kernel(layout, bidv_ref, bids_ref, pts_ref, table_ref, tbf_ref,
         o = layout.offsets[l]
         nl = layout.offsets[l + 1] - o
         if strategies[l] == "mxu":
-            oh = _onehot(bidv_ref[:, l:l + 1], nl)
+            oh = _onehot(bidv_ref[:, l:l + 1], nl, blk)
             rows = jax.lax.dot_general(
                 oh, tbf_ref[o:o + nl, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -178,7 +186,7 @@ def _fwd_kernel(layout, bidv_ref, bids_ref, pts_ref, table_ref, tbf_ref,
                 buf_ref[pl.ds(i, 1), :] = \
                     table_ref[pl.ds(o + bids_ref[i, l], 1), :]
                 return 0
-            jax.lax.fori_loop(0, BLK, copy, 0)
+            jax.lax.fori_loop(0, blk, copy, 0)
         li, w = _level_geometry(px, py, pz, res, lane)
         f0 = jnp.take_along_axis(buf_ref[:, :128], li, axis=1)
         f1 = jnp.take_along_axis(buf_ref[:, 128:], li, axis=1)
@@ -187,15 +195,19 @@ def _fwd_kernel(layout, bidv_ref, bids_ref, pts_ref, table_ref, tbf_ref,
                                                   keepdims=True)
 
 
-def _bwd_kernel(layout, bidv_ref, bids_ref, pts_ref, g_ref, dtab_ref,
-                contrib_ref):
+def _bwd_kernel(layout, blk, *refs):
     strategies = _strategies(layout)
+    mixed = "scalar" in strategies
+    if mixed:
+        bidv_ref, bids_ref, pts_ref, g_ref, dtab_ref, contrib_ref = refs
+    else:
+        bidv_ref, pts_ref, g_ref, dtab_ref, contrib_ref = refs
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         dtab_ref[:] = jnp.zeros_like(dtab_ref)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
     px = pts_ref[:, 0:1]
     py = pts_ref[:, 1:2]
     pz = pts_ref[:, 2:3]
@@ -209,8 +221,8 @@ def _bwd_kernel(layout, bidv_ref, bids_ref, pts_ref, g_ref, dtab_ref,
         u1 = w * g1
         # scatter the 8 per-corner updates into brick-lane positions:
         # contrib[:, v] = sum_c (li[:, c] == v) * u[:, c]
-        c0 = jnp.zeros((BLK, 128), jnp.float32)
-        c1 = jnp.zeros((BLK, 128), jnp.float32)
+        c0 = jnp.zeros((blk, 128), jnp.float32)
+        c1 = jnp.zeros((blk, 128), jnp.float32)
         for c in range(8):
             lc = li[:, c:c + 1]                      # (B, 1)
             m = (lane == lc).astype(jnp.float32)
@@ -218,7 +230,7 @@ def _bwd_kernel(layout, bidv_ref, bids_ref, pts_ref, g_ref, dtab_ref,
             c1 = c1 + m * u1[:, c:c + 1]
         contrib = jnp.concatenate([c0, c1], axis=1)  # (B, 256)
         if strategies[l] == "mxu":
-            oh = _onehot(bidv_ref[:, l:l + 1], nl)
+            oh = _onehot(bidv_ref[:, l:l + 1], nl, blk)
             upd = jax.lax.dot_general(
                 oh, contrib.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (nl, 256)
@@ -232,24 +244,30 @@ def _bwd_kernel(layout, bidv_ref, bids_ref, pts_ref, g_ref, dtab_ref,
                     dtab_ref[pl.ds(row, 1), :]
                     + contrib_ref[pl.ds(i, 1), :])
                 return 0
-            jax.lax.fori_loop(0, BLK, accum, 0)
+            jax.lax.fori_loop(0, blk, accum, 0)
 
 
-def _pad_pts(x):
+def _blk(layout) -> int:
+    return BLK if "scalar" in _strategies(layout) else BLK_MXU
+
+
+def _pad_pts(x, blk):
     n = x.shape[0]
-    npad = -(-n // BLK) * BLK
+    npad = -(-n // blk) * blk
     pts = jnp.zeros((npad, 8), jnp.float32).at[:n, :3].set(
         x.astype(jnp.float32))
     return pts, npad
 
 
-def _specs(layout, L):
-    """(bid-vmem, bid-smem, pts) input specs shared by fwd and bwd."""
-    return [
-        pl.BlockSpec((BLK, L), lambda i: (i, 0)),
-        pl.BlockSpec((BLK, L), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((BLK, 8), lambda i: (i, 0)),
-    ]
+def _specs(layout, L, blk):
+    """Input specs for (ids..., pts): mixed-strategy kernels also carry
+    an SMEM copy of the ids for the scalar copy/RMW loops."""
+    specs = [pl.BlockSpec((blk, L), lambda i: (i, 0))]
+    if "scalar" in _strategies(layout):
+        specs.append(pl.BlockSpec((blk, L), lambda i: (i, 0),
+                                  memory_space=pltpu.SMEM))
+    specs.append(pl.BlockSpec((blk, 8), lambda i: (i, 0)))
+    return specs
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -261,22 +279,27 @@ def brick_hash_encode(layout: BrickLayout, table, x):
 def _brick_fwd_impl(layout, table, x):
     L = len(layout.scales)
     n = x.shape[0]
-    pts, npad = _pad_pts(x)
+    blk = _blk(layout)
+    mixed = "scalar" in _strategies(layout)
+    pts, npad = _pad_pts(x, blk)
     bid = compute_brick_ids(layout, pts[:, :3])
     table = table.astype(jnp.float32)
+    table_specs = [pl.BlockSpec((layout.n_rows, ROW), lambda i: (0, 0))]
+    args = [bid, pts, table.astype(jnp.bfloat16)]
+    if mixed:
+        table_specs.insert(0, pl.BlockSpec((layout.n_rows, ROW),
+                                           lambda i: (0, 0)))
+        args = [bid, bid, pts, table, table.astype(jnp.bfloat16)]
     out = pl.pallas_call(
-        partial(_fwd_kernel, layout),
-        grid=(npad // BLK,),
-        in_specs=_specs(layout, L) + [
-            pl.BlockSpec((layout.n_rows, ROW), lambda i: (0, 0)),
-            pl.BlockSpec((layout.n_rows, ROW), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((BLK, 2 * L), lambda i: (i, 0)),
+        partial(_fwd_kernel, layout, blk),
+        grid=(npad // blk,),
+        in_specs=_specs(layout, L, blk) + table_specs,
+        out_specs=pl.BlockSpec((blk, 2 * L), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((npad, 2 * L), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((BLK, ROW), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((blk, ROW), jnp.float32)],
         compiler_params=_CP,
         interpret=_interpret(),
-    )(bid, bid, pts, table, table.astype(jnp.bfloat16))
+    )(*args)
     return out[:n]
 
 
@@ -288,22 +311,25 @@ def _brick_bwd(layout, res, g):
     table, x = res
     L = len(layout.scales)
     n = x.shape[0]
-    pts, npad = _pad_pts(x)
+    blk = _blk(layout)
+    mixed = "scalar" in _strategies(layout)
+    pts, npad = _pad_pts(x, blk)
     bid = compute_brick_ids(layout, pts[:, :3])
     gpad = jnp.zeros((npad, 2 * L), jnp.float32).at[:n].set(
         g.astype(jnp.float32))
+    args = ([bid, bid, pts, gpad] if mixed else [bid, pts, gpad])
     dtab = pl.pallas_call(
-        partial(_bwd_kernel, layout),
-        grid=(npad // BLK,),
-        in_specs=_specs(layout, L) + [
-            pl.BlockSpec((BLK, 2 * L), lambda i: (i, 0)),
+        partial(_bwd_kernel, layout, blk),
+        grid=(npad // blk,),
+        in_specs=_specs(layout, L, blk) + [
+            pl.BlockSpec((blk, 2 * L), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((layout.n_rows, ROW), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((layout.n_rows, ROW), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((BLK, ROW), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((blk, ROW), jnp.float32)],
         compiler_params=_CP,
         interpret=_interpret(),
-    )(bid, bid, pts, gpad)
+    )(*args)
     return dtab.astype(table.dtype), jnp.zeros_like(x)
 
 

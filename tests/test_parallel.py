@@ -272,3 +272,35 @@ def test_host_loader_train_path_uses_mesh():
     p8 = run(make_mesh())
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_brick_encoder_grads_shard_over_mesh():
+    """Brick (Pallas) hash encoder under the data mesh: table gradients
+    from an 8-way sharded batch must match the single-device grads —
+    the pallas_call runs per-shard and psum handles the reduction."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nerf_replication_tpu.ops.pallas.hashgrid_kernel import (
+        brick_hash_encode, make_brick_layout)
+
+    lay = make_brick_layout(2, 8, 16, log2_bricks=9)
+    key = jax.random.key(0)
+    table = jax.random.uniform(key, (lay.n_rows, 256), jnp.float32, -1, 1)
+    x = jax.random.uniform(jax.random.key(1), (64, 3))
+
+    def loss(t, xx):
+        return (brick_hash_encode(lay, t, xx) ** 2).sum()
+
+    g_single = jax.grad(loss)(table, x)
+
+    mesh = make_mesh()
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    tr = jax.device_put(table, NamedSharding(mesh, P()))
+
+    @jax.jit
+    def sharded_grad(t, xx):
+        return jax.grad(loss)(t, xx)
+
+    g_mesh = sharded_grad(tr, xs)
+    np.testing.assert_allclose(np.asarray(g_mesh), np.asarray(g_single),
+                               atol=2e-2, rtol=2e-2)
