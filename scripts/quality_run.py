@@ -95,6 +95,9 @@ def main():
         ds.H = ds.W = size
     if os.environ.get("QR_MAX_EPOCH"):
         cfg.train.epoch = int(os.environ["QR_MAX_EPOCH"])
+    if os.environ.get("QR_BRICKS"):   # brick-encoder capacity ablations
+        cfg.network.xyz_encoder["log2_bricks"] = int(os.environ["QR_BRICKS"])
+        cfg.exp_name += "_b" + os.environ["QR_BRICKS"]
     if size <= 128:  # CPU smoke settings
         cfg.task_arg.update({"N_rays": 128, "N_samples": 16,
                              "N_importance": 16, "ray_chunk": 2048,
