@@ -101,9 +101,10 @@ def main():
         print("bench: no trained checkpoint; random params, static "
               "capacity", file=sys.stderr)
 
-    settings = dataclasses.replace(settings, ray_chunk=ray_chunk,
-                                   fast_sampling=fast,
-                                   density_activation=density_act)
+    settings = dataclasses.replace(
+        settings, ray_chunk=ray_chunk, fast_sampling=fast,
+        density_activation=density_act,
+        ert_segments=int(os.environ.get("BENCH_ERT", "1")))
     renderer = Renderer(net, settings=settings, mesh=None)
     if use_pallas:
         ok = renderer.enable_fused_mlp(params)

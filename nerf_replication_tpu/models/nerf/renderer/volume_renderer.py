@@ -67,6 +67,13 @@ class RenderSettings:
     #                            volume_renderer.py:198-244 debug prints)
     ray_chunk: int = 8192  # eval tile size for lax.map over rays
     density_activation: str = "relu"  # 'softplus' avoids dead-ReLU collapse
+    # segmented fine pass with early-ray-termination compaction (the
+    # TPU-native form of the reference's ERT cummax threshold,
+    # volume_renderer.py:161-171): >1 splits the fine samples into that
+    # many segments and drops saturated rays between segments via
+    # static-capacity top-K on remaining transmittance. 1 = dense.
+    ert_segments: int = 1
+    ert_eps: float = 1e-4
 
     @classmethod
     def from_cfg(cls, cfg) -> "RenderSettings":
@@ -87,6 +94,8 @@ class RenderSettings:
             ess_verbose=bool(get("ess_verbose", False)),
             ray_chunk=int(get("ray_chunk", 8192)),
             density_activation=str(get("density_activation", "relu")),
+            ert_segments=int(get("ert_segments", 1)),
+            ert_eps=float(get("ert_eps", 1e-4)),
         )
 
 
@@ -202,6 +211,103 @@ def fine_stage(
             "skipped_points": (~valid_sorted).sum(),
         }
     return out
+
+
+def fine_stage_ert(
+    apply_fn,
+    params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    t_coarse: jnp.ndarray,
+    w_c: jnp.ndarray,
+    s: RenderSettings,
+    n_seg: int | None = None,
+    surv_frac: tuple | None = None,
+):
+    """Segmented fine pass with early-ray-termination compaction.
+
+    The reference's ERT thresholds per-SAMPLE via a transmittance cummax
+    (volume_renderer.py:161-171) — a masking trick that saves nothing on
+    dense hardware. The TPU-native form: evaluate the sorted fine
+    samples in ``n_seg`` segments; between segments keep only the rays
+    whose remaining transmittance is largest (static-capacity top-K, so
+    every shape stays compile-time constant) and stop marching the rest.
+
+    Weight math is EXACT for surviving rays: deltas are taken from the
+    global sorted depth vector (with the reference's 1e10 tail) and the
+    carried transmittance includes the same +1e-10 cumprod epsilon as
+    :func:`compute_weights`, so a run with full capacity reproduces
+    :func:`fine_stage` bitwise. A dropped ray loses only its tail
+    contribution, bounded by its remaining transmittance (<= ert_eps up
+    to the capacity overflow reported in ``stats``).
+
+    Eval-only (deterministic CDF samples, no noise).
+    """
+    n = rays_o.shape[0]
+    n_seg = int(s.ert_segments if n_seg is None else n_seg)
+    bins = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
+    w_mid = jax.lax.stop_gradient(w_c[..., 1:-1])
+    t_fine = sample_pdf(bins, w_mid, s.N_importance, key=None)
+    t_all = jnp.sort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)
+    S = t_all.shape[-1]
+    k = -(-S // n_seg)
+    pad = n_seg * k - S
+    if pad:  # repeat the last depth: delta 0 -> alpha 0 -> no effect
+        t_all = jnp.concatenate(
+            [t_all, jnp.repeat(t_all[:, -1:], pad, axis=1)], axis=1)
+    delta = jnp.concatenate(
+        [t_all[:, 1:] - t_all[:, :-1],
+         jnp.full((n, 1), 1e10, t_all.dtype)], axis=1)
+    act = density_activation(s.density_activation)
+    if surv_frac is None:
+        surv_frac = tuple(0.6 * (0.7 ** i) for i in range(n_seg - 1))
+
+    rgb_acc = jnp.zeros((n, 3), jnp.float32)
+    depth_acc = jnp.zeros((n,), jnp.float32)
+    acc_acc = jnp.zeros((n,), jnp.float32)
+
+    gidx = jnp.arange(n)
+    ro, rd, vd = rays_o, rays_d, viewdirs
+    T = jnp.ones((n,), jnp.float32)
+    overflow = jnp.int32(0)
+    for seg in range(n_seg):
+        ts = t_all[:, seg * k:(seg + 1) * k]
+        ds_ = delta[:, seg * k:(seg + 1) * k]
+        pts = ro[:, None] + rd[:, None] * ts[..., None]
+        raw = apply_fn(params, pts, vd[:, None], "fine")
+        rgb = jax.nn.sigmoid(raw[..., :3])
+        alpha = 1.0 - jnp.exp(-act(raw[..., 3]) * ds_)
+        one_m = 1.0 - alpha + 1e-10          # compute_weights epsilon
+        trans_local = jnp.cumprod(one_m, axis=-1)
+        trans_excl = jnp.concatenate(
+            [jnp.ones_like(trans_local[:, :1]), trans_local[:, :-1]],
+            axis=1)
+        w = T[:, None] * trans_excl * alpha
+        rgb_acc = rgb_acc.at[gidx].add(
+            (w[..., None] * rgb).sum(axis=1), unique_indices=True)
+        depth_acc = depth_acc.at[gidx].add((w * ts).sum(axis=1),
+                                           unique_indices=True)
+        acc_acc = acc_acc.at[gidx].add(w.sum(axis=1), unique_indices=True)
+        T = T * trans_local[:, -1]
+        if seg < n_seg - 1:
+            kk = int(-(-n * float(surv_frac[seg]) // 128) * 128)
+            kk = min(int(T.shape[0]), max(1, kk))
+            vals, sel = jax.lax.top_k(T, kk)
+            overflow = overflow + ((T > s.ert_eps).sum()
+                                   - (vals > s.ert_eps).sum())
+            gidx = jnp.take(gidx, sel)
+            ro = jnp.take(ro, sel, axis=0)
+            rd = jnp.take(rd, sel, axis=0)
+            vd = jnp.take(vd, sel, axis=0)
+            t_all = jnp.take(t_all, sel, axis=0)
+            delta = jnp.take(delta, sel, axis=0)
+            T = vals
+    rgb_map = rgb_acc
+    if s.white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_acc[..., None])
+    return {"rgb": rgb_map, "depth": depth_acc, "acc": acc_acc,
+            "stats": {"ert_overflow": overflow}}
 
 
 def render_rays(
@@ -589,6 +695,9 @@ class Renderer:
             def fine_chunk(rr):
                 cro, crd, cw = rr
                 vd = crd / jnp.linalg.norm(crd, axis=-1, keepdims=True)
+                if s.ert_segments > 1:
+                    return fine_stage_ert(apply_fn, params, cro, crd, vd,
+                                          t_coarse, cw, s)["rgb"]
                 return fine_stage(apply_fn, params, cro, crd, vd, t_coarse,
                                   cw, None, None, s, train=False)["rgb"]
 

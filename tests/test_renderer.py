@@ -259,3 +259,73 @@ def test_ess_verbose_stats():
     assert 0 <= int(st["empty_rays"]) <= 32
     assert 0.0 <= float(st["valid_fine_frac"]) <= 1.0
     assert int(st["skipped_points"]) >= 0
+
+
+def test_fine_stage_ert_full_capacity_matches_dense():
+    """fine_stage_ert with full survivor capacity reproduces fine_stage
+    exactly (same deltas, same cumprod epsilon, no dropped rays)."""
+    import jax
+
+    from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+        RenderSettings, fine_stage, fine_stage_ert)
+
+    key = jax.random.key(0)
+    n, S = 96, 16
+    s = RenderSettings(N_samples=S, N_importance=8, white_bkgd=True,
+                       density_activation="softplus", ert_segments=3,
+                       perturb=False)
+    ro = jax.random.normal(key, (n, 3))
+    rd = jax.random.normal(jax.random.key(1), (n, 3))
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    t_c = jnp.sort(jax.random.uniform(jax.random.key(2), (n, S),
+                                      minval=2.0, maxval=6.0), axis=-1)
+    w_c = jax.random.uniform(jax.random.key(3), (n, S))
+
+    def apply_fn(params, pts, viewdirs, branch):
+        del params, branch
+        h = jnp.sin(pts.sum(-1, keepdims=True) * 3.0)
+        return jnp.concatenate(
+            [h, h * 0.5, -h, jnp.cos(pts[..., :1] * 2.0)], axis=-1)
+
+    dense = fine_stage(apply_fn, None, ro, rd, vd, t_c, w_c, None, None, s)
+    seg = fine_stage_ert(apply_fn, None, ro, rd, vd, t_c, w_c, s,
+                         surv_frac=(1.0, 1.0))
+    np.testing.assert_allclose(np.asarray(seg["rgb"]),
+                               np.asarray(dense["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seg["depth"]),
+                               np.asarray(dense["depth"]), atol=1e-4)
+    assert int(seg["stats"]["ert_overflow"]) == 0
+
+
+def test_fine_stage_ert_drops_only_saturated_tail():
+    """With tight capacity, rays that saturate early must still be exact;
+    the overall image error stays bounded by the dropped transmittance."""
+    import jax
+
+    from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+        RenderSettings, fine_stage, fine_stage_ert)
+
+    key = jax.random.key(0)
+    n, S = 128, 16
+    s = RenderSettings(N_samples=S, N_importance=8, white_bkgd=True,
+                       density_activation="softplus", ert_segments=2,
+                       perturb=False)
+    ro = jnp.zeros((n, 3))
+    rd = jax.random.normal(key, (n, 3))
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    t_c = jnp.tile(jnp.linspace(2.0, 6.0, S)[None], (n, 1))
+    w_c = jnp.ones((n, S))
+
+    def apply_fn(params, pts, viewdirs, branch):
+        # half the rays hit a dense wall early (saturate), half stay empty
+        dense_ray = pts[..., 1:2] > 0
+        sigma = jnp.where(dense_ray, 50.0, -5.0)
+        return jnp.concatenate(
+            [jnp.ones_like(sigma), jnp.zeros_like(sigma),
+             jnp.zeros_like(sigma), sigma], axis=-1)
+
+    dense = fine_stage(apply_fn, None, ro, rd, vd, t_c, w_c, None, None, s)
+    seg = fine_stage_ert(apply_fn, None, ro, rd, vd, t_c, w_c, s,
+                         surv_frac=(0.6,))
+    err = np.abs(np.asarray(seg["rgb"]) - np.asarray(dense["rgb"])).max()
+    assert err < 1e-3, err
