@@ -104,7 +104,10 @@ def main():
     settings = dataclasses.replace(
         settings, ray_chunk=ray_chunk, fast_sampling=fast,
         density_activation=density_act,
-        ert_segments=int(os.environ.get("BENCH_ERT", "1")))
+        ert_segments=int(os.environ.get("BENCH_ERT", "1")),
+        ert_frac=tuple(float(f) for f in
+                       os.environ.get("BENCH_ERT_FRAC", "").split(",")
+                       if f))
     renderer = Renderer(net, settings=settings, mesh=None)
     if use_pallas:
         ok = renderer.enable_fused_mlp(params)

@@ -74,6 +74,8 @@ class RenderSettings:
     # static-capacity top-K on remaining transmittance. 1 = dense.
     ert_segments: int = 1
     ert_eps: float = 1e-4
+    ert_frac: tuple = ()   # per-boundary survivor fractions; () = default
+    ert_split: float = 2.0 / 3.0  # fraction of samples in segment 0
 
     @classmethod
     def from_cfg(cls, cfg) -> "RenderSettings":
@@ -96,6 +98,8 @@ class RenderSettings:
             density_activation=str(get("density_activation", "relu")),
             ert_segments=int(get("ert_segments", 1)),
             ert_eps=float(get("ert_eps", 1e-4)),
+            ert_frac=tuple(float(f) for f in get("ert_frac", ())),
+            ert_split=float(get("ert_split", 2.0 / 3.0)),
         )
 
 
@@ -251,17 +255,25 @@ def fine_stage_ert(
     t_fine = sample_pdf(bins, w_mid, s.N_importance, key=None)
     t_all = jnp.sort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)
     S = t_all.shape[-1]
-    k = -(-S // n_seg)
-    pad = n_seg * k - S
-    if pad:  # repeat the last depth: delta 0 -> alpha 0 -> no effect
-        t_all = jnp.concatenate(
-            [t_all, jnp.repeat(t_all[:, -1:], pad, axis=1)], axis=1)
+    # the inverse-CDF samples cluster around surfaces (mid-array in the
+    # sorted union), so saturation mostly happens in the FIRST ~2/3 of
+    # the samples: give segment 0 that span and split the tail evenly.
+    # Even splits would cut before the surface and drop live rays.
+    first = int(round(S * float(s.ert_split)))
+    first = max(1, min(S - (n_seg - 1), first))
+    rest = S - first
+    k_tail = -(-rest // max(n_seg - 1, 1))
+    bounds = [0, first]
+    while bounds[-1] < S:
+        bounds.append(min(S, bounds[-1] + k_tail))
+    n_seg = len(bounds) - 1
     delta = jnp.concatenate(
         [t_all[:, 1:] - t_all[:, :-1],
          jnp.full((n, 1), 1e10, t_all.dtype)], axis=1)
     act = density_activation(s.density_activation)
     if surv_frac is None:
-        surv_frac = tuple(0.6 * (0.7 ** i) for i in range(n_seg - 1))
+        surv_frac = (s.ert_frac if s.ert_frac else
+                     tuple(0.5 * (0.8 ** i) for i in range(n_seg - 1)))
 
     rgb_acc = jnp.zeros((n, 3), jnp.float32)
     depth_acc = jnp.zeros((n,), jnp.float32)
@@ -272,8 +284,8 @@ def fine_stage_ert(
     T = jnp.ones((n,), jnp.float32)
     overflow = jnp.int32(0)
     for seg in range(n_seg):
-        ts = t_all[:, seg * k:(seg + 1) * k]
-        ds_ = delta[:, seg * k:(seg + 1) * k]
+        ts = t_all[:, bounds[seg]:bounds[seg + 1]]
+        ds_ = delta[:, bounds[seg]:bounds[seg + 1]]
         pts = ro[:, None] + rd[:, None] * ts[..., None]
         raw = apply_fn(params, pts, vd[:, None], "fine")
         rgb = jax.nn.sigmoid(raw[..., :3])
