@@ -198,7 +198,8 @@ def load_pretrain(task_or_dir: str):
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:
-        print(f"load pretrain: {path}")
+        # stderr: bench.py's stdout must stay a single JSON line
+        print(f"load pretrain: {path}", file=sys.stderr)
         return pickle.load(f)["net"]
 
 
