@@ -89,8 +89,6 @@ def main():
     cfg.test_dataset.data_root = scene_root
     cfg.scene = scene
     cfg.exp_name = scene + ("_ngp" if "ngp" in cfg_file else "")
-    cfg.trained_model_dir = os.path.join(
-        "data/trained_model/nerf-replication", scene, cfg.exp_name)
     for ds in (cfg.train_dataset, cfg.test_dataset):
         ds.H = ds.W = size
     if os.environ.get("QR_MAX_EPOCH"):
@@ -98,6 +96,10 @@ def main():
     if os.environ.get("QR_BRICKS"):   # brick-encoder capacity ablations
         cfg.network.xyz_encoder["log2_bricks"] = int(os.environ["QR_BRICKS"])
         cfg.exp_name += "_b" + os.environ["QR_BRICKS"]
+    # derive AFTER every exp_name suffix so ablations never overwrite
+    # the base experiment's checkpoints
+    cfg.trained_model_dir = os.path.join(
+        "data/trained_model/nerf-replication", scene, cfg.exp_name)
     if size <= 128:  # CPU smoke settings
         cfg.task_arg.update({"N_rays": 128, "N_samples": 16,
                              "N_importance": 16, "ray_chunk": 2048,
