@@ -329,3 +329,19 @@ def test_fine_stage_ert_drops_only_saturated_tail():
                          surv_frac=(0.6,))
     err = np.abs(np.asarray(seg["rgb"]) - np.asarray(dense["rgb"])).max()
     assert err < 1e-3, err
+
+
+def test_render_settings_ert_from_cfg():
+    from nerf_replication_tpu.config import default_cfg
+    from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+        RenderSettings)
+
+    cfg = default_cfg()
+    cfg.task_arg.update({"ert_segments": 3, "ert_eps": 1e-3,
+                         "ert_frac": [0.7, 0.5], "ert_split": 0.5})
+    s = RenderSettings.from_cfg(cfg)
+    assert s.ert_segments == 3
+    assert s.ert_eps == pytest.approx(1e-3)
+    assert s.ert_frac == (0.7, 0.5)
+    assert s.ert_split == 0.5
+    assert hash(s) is not None  # stays jit-static-safe
