@@ -40,3 +40,22 @@ def test_freq_batch_shapes():
     enc = FrequencyEncoder(input_dim=3, freq=10)
     x = jnp.zeros((7, 11, 3))
     assert enc(x).shape == (7, 11, 63)
+
+
+def test_get_encoder_dispatch_brick_backend():
+    """The reference YAML name (cuda_hashgrid) + backend: brick resolves
+    to a HashGridEncoder running the Pallas bricked kernels."""
+    import jax
+
+    enc = get_encoder(CN({
+        "type": "cuda_hashgrid", "backend": "brick", "input_dim": 3,
+        "num_levels": 3, "level_dim": 2, "base_resolution": 8,
+        "desired_resolution": 32, "log2_bricks": 9,
+        "bounds": [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]}))
+    assert enc.backend == "brick"
+    assert enc.output_dim == 6
+    x = jax.random.uniform(jax.random.key(0), (32, 3), minval=-1, maxval=1)
+    params = enc.init(jax.random.key(1), x)
+    out = enc.apply(params, x)
+    assert out.shape == (32, 6)
+    assert bool(jnp.isfinite(out).all())
