@@ -1,0 +1,305 @@
+"""Occupancy-raymarch renderer for the brick-NGP model family.
+
+The reference's CUDA hash encoder exists to serve instant-ngp-style
+models whose *renderer* marches rays through an occupancy bitfield with
+early termination (hashencoder.cu:78-197 is the encode half; the
+raymarch half lives upstream in instant-ngp). This module is the
+TPU-native whole: static-shape compaction instead of per-ray dynamic
+marching, one jitted program per frame.
+
+Pipeline (all shapes compile-time static):
+
+1. device-side ray generation from the camera pose;
+2. occupied-span probe on a subsampled pixel lattice
+   (:func:`...ops.occupancy.ray_spans`): per-ray ``[t_enter, t_exit]``
+   bounds from the cached occupancy grid — background rays composite as
+   pure background without ever touching the MLP;
+3. active-ray compaction (stable argsort, static capacity);
+4. span-bounded coarse pass: ``n_candidates`` uniform positions inside
+   the span, keep the ``n_coarse`` landing in occupied cells (lax.sort
+   selection — empty pockets inside the span are skipped exactly where
+   the field is ~zero), evaluate, composite with gap-capped deltas;
+5. opacity compaction (top-k by coarse acc, static capacity);
+6. inverse-CDF fine samples; evaluate ONLY the new fine points; merge
+   with the saved coarse raws by a multi-operand ``lax.sort`` (no
+   re-evaluation of coarse positions, no gathers); composite;
+7. scatter back, optional uint8 output.
+
+Sample counts: active rays pay ``n_coarse + n_fine`` MLP/encode points
+(vs ``N_samples + (N_samples + N_importance)`` on the dense path — 3-6x
+fewer), and culled rays pay nothing.
+
+Differences vs the dense hierarchical render (quality-gated in
+bench.py against it):
+* every evaluation uses the FINE branch (the dense path's final image
+  is the fine composite; mixing branches would bias the merge);
+* sampling is restricted to the grid-occupied span (conservative:
+  dilated grid, threshold ~alpha-negligible);
+* the far-tail delta is the local sample spacing, not the reference's
+  1e10 (volume_renderer.py:80-95) — a span-bounded last sample sits ON
+  the surface, where an infinite tail would absorb everything;
+* deltas across skipped-empty gaps are capped at twice the candidate
+  spacing (the field is ~zero there; an uncapped delta would bleed the
+  pre-gap sample's density across the gap).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....ops.occupancy import points_occupied, ray_spans
+from ....ops.ray_ops import density_activation, sample_pdf
+from .volume_renderer import RenderSettings
+
+
+def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512):
+    """Eval-path ``apply_fn(params, pts, viewdirs, model)`` for a
+    brick-backend NGP network: routes the hash encode through the
+    forward-only eval kernel (ops/pallas/eval_encode.py) and keeps the
+    MLP/SH in XLA. Returns None when the network doesn't match
+    (caller falls back to ``net.apply``). Weights are baked at call
+    time; the returned fn ignores its params argument."""
+    from ....models.encoding.hashgrid import (
+        HashGridEncoder,
+        normalize_to_unit,
+    )
+    from ....ops.pallas import hashgrid_kernel as hk
+    from ....ops.pallas.eval_encode import brick_encode_eval, pack_eval_table
+
+    enc = net.xyz_encoder
+    if not isinstance(enc, HashGridEncoder) or enc.backend != "brick":
+        return None
+    layout = hk.make_brick_layout(
+        enc.n_levels, enc.base_resolution, enc.finest_resolution,
+        log2_bricks=enc.log2_bricks, per_level_scale=enc.per_level_scale)
+    table = params["params"]["xyz_encoder"]["table"]
+    packed = pack_eval_table(jnp.asarray(table))
+    bounds = tuple(enc.bounds) if enc.bounds else None
+    dir_enc = net.dir_encoder
+
+    def run_mlp(module, pts_feat, view_feat, model):
+        mlp = module.fine if model == "fine" else module.coarse
+        return mlp(pts_feat, view_feat)
+
+    def apply_fn(_params, pts, viewdirs, model):
+        shape = pts.shape[:-1]
+        x = pts.reshape(-1, 3)
+        if bounds is not None:
+            x = normalize_to_unit(x, bounds)
+        x = jnp.clip(x, 0.0, 1.0)
+        feat = brick_encode_eval(layout, packed, x,
+                                 mxu_max_rows=mxu_max_rows)
+        view_feat = None
+        if net.use_viewdirs and viewdirs is not None:
+            dirs = jnp.broadcast_to(viewdirs, shape + (viewdirs.shape[-1],))
+            view_feat = dir_enc(dirs.reshape(-1, 3))
+        raw = net.apply(params, feat, view_feat, model, method=run_mlp)
+        return raw.reshape(*shape, 4)
+
+    return apply_fn
+
+
+def _gap_capped_weights(sigma, t, span, n_candidates, act, cap_mult=2.0):
+    """Compositing weights over non-uniformly selected samples.
+
+    ``delta_i = min(t_{i+1} - t_i, cap)`` with ``cap = cap_mult x
+    span / n_candidates`` (the candidate spacing); the tail delta is the
+    cap. Gaps wider than the cap are skipped-empty regions (see module
+    doc); capping approximates zero absorption across them.
+    """
+    cap = (cap_mult * span / n_candidates)[..., None]
+    delta = jnp.concatenate(
+        [t[..., 1:] - t[..., :-1],
+         jnp.broadcast_to(cap, t[..., :1].shape)], axis=-1)
+    delta = jnp.minimum(delta, cap)
+    alpha = 1.0 - jnp.exp(-act(sigma) * delta)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    return alpha * trans
+
+
+def make_ngp_frame_renderer(
+    apply_fn, H: int, W: int, focal: float, occupancy,
+    s: RenderSettings, n_candidates: int = 32, n_coarse: int = 16,
+    n_fine: int = 16, capacity: float = 0.35,
+    fine_capacity: float | None = None, probe_sub: int = 4,
+    out_dtype=jnp.uint8, return_stats: bool = False,
+):
+    """Build ``jit(fn)(params, c2w) -> rgb (H*W, 3)[, stats]``.
+
+    ``occupancy`` is ``(grid, bbox)`` or ``(grid, bbox, dilate)`` from
+    ops/occupancy.py; the grid must be dilated >= 2 cells (1 for the
+    probe step + 1 for the ``probe_sub``-pixel ray divergence).
+    ``capacity``/``fine_capacity`` are fractions of H*W bounding the
+    active / fine-pass ray counts (static shapes; overflow reported in
+    ``stats``).
+    """
+    n = H * W
+    chunk = min(s.ray_chunk, n)
+    n_pad = (-n) % chunk
+    n_full = n + n_pad
+    k1 = min(n_full, -(-int(n_full * capacity) // chunk) * chunk)
+    k2 = int(n_full * (fine_capacity if fine_capacity is not None
+                       else capacity * 0.85))
+    k2 = min(k1, -(-k2 // chunk) * chunk)
+
+    grid = jnp.asarray(np.asarray(occupancy[0], np.uint8))
+    bbox = tuple(float(b) for b in occupancy[1])
+    dilate = int(occupancy[2]) if len(occupancy) > 2 else 2
+    if dilate < 2 and probe_sub > 1:
+        raise ValueError(
+            "ngp frame renderer: probe_sub > 1 needs a grid dilated >= 2 "
+            "cells (1 probe step + 1 ray divergence); rebuild the grid "
+            "with dilate>=2 or pass probe_sub=1")
+    r = grid.shape[0]
+    cell = max((bbox[3 + d] - bbox[d]) / r for d in range(3))
+    n_probe = int(np.ceil((s.far - s.near) / cell)) + 1
+    sub = probe_sub
+    if sub > 1 and (sub * s.far / focal > cell or H % sub or W % sub):
+        sub = 1
+    act = density_activation(s.density_activation)
+    assert k1 % chunk == 0 and k2 % chunk == 0
+    M, F, C = n_coarse, n_fine, n_candidates
+
+    def fn(params, c2w):
+        us, vs = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                              jnp.arange(H, dtype=jnp.float32))
+        u = us.ravel()
+        v = vs.ravel()
+        dirs = jnp.stack([(u - W / 2.0) / focal, -(v - H / 2.0) / focal,
+                          -jnp.ones_like(u)], -1)
+        rays_d = dirs @ c2w[:3, :3].T
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+
+        # --- span probe on the subsampled lattice -----------------------
+        t_probe = jnp.linspace(s.near, s.far, n_probe)
+        step = (s.far - s.near) / (n_probe - 1)
+        if sub > 1:
+            rd_s = rays_d.reshape(H, W, 3)[sub // 2::sub, sub // 2::sub]
+            rd_s = rd_s.reshape(-1, 3)
+            ro_s = jnp.broadcast_to(c2w[:3, 3], rd_s.shape)
+            act_s, te_s, tx_s = ray_spans(ro_s, rd_s, t_probe, grid, bbox,
+                                          margin=2.0 * step)
+            rep = lambda x: jnp.repeat(jnp.repeat(
+                x.reshape(H // sub, W // sub), sub, axis=0),
+                sub, axis=1).reshape(-1)
+            active, t_enter, t_exit = rep(act_s), rep(te_s), rep(tx_s)
+        else:
+            active, t_enter, t_exit = ray_spans(
+                rays_o, rays_d, t_probe, grid, bbox, margin=2.0 * step)
+        active = jnp.pad(active, (0, n_pad)) & (jnp.arange(n_full) < n)
+
+        # --- active compaction ------------------------------------------
+        order1 = jnp.argsort(~active)            # stable: actives first
+        sel1 = order1[:k1]
+        take = lambda x: jnp.take(
+            jnp.pad(x, ((0, n_pad),) + ((0, 0),) * (x.ndim - 1)),
+            sel1, axis=0, unique_indices=True)
+        ro1, rd1 = take(rays_o), take(rays_d)
+        te1, tx1 = take(t_enter), take(t_exit)
+        span1 = jnp.maximum(tx1 - te1, 1e-3)
+        stats = {"active_rays": active.sum(),
+                 "coarse_overflow": jnp.maximum(active.sum() - k1, 0)}
+
+        # --- coarse: occupied-selected span samples ---------------------
+        def coarse_chunk(args):
+            ro, rd, te, span = args
+            uu = (jnp.arange(C, dtype=jnp.float32) + 0.5) / C
+            t_cand = te[:, None] + span[:, None] * uu[None, :]   # (c, C)
+            p_cand = ro[:, None] + rd[:, None] * t_cand[..., None]
+            occ_c = points_occupied(p_cand, grid, bbox)
+            # keep the n_coarse best candidates: occupied first, earlier
+            # positions as tie-break; then re-sort the kept set by depth
+            score = jnp.where(occ_c, 0.0, 2.0) + uu[None, :] * 1e-3
+            _, t_sel = jax.lax.sort((score, t_cand), dimension=-1,
+                                    num_keys=1)
+            t_c = jax.lax.sort(t_sel[:, :M], dimension=-1)        # (c, M)
+            pts = ro[:, None] + rd[:, None] * t_c[..., None]
+            vd = rd[:, None]
+            raw = apply_fn(params, pts, vd, "fine")
+            w = _gap_capped_weights(raw[..., 3], t_c, span, C, act)
+            rgb = jax.nn.sigmoid(raw[..., :3])
+            acc = w.sum(-1)
+            rgb_map = (w[..., None] * rgb).sum(-2)
+            if s.white_bkgd:
+                rgb_map = rgb_map + (1.0 - acc[..., None])
+            return (rgb_map, acc, t_c, raw,
+                    occ_c.sum(-1).astype(jnp.int32))
+
+        rgb1, acc1, t_c1, raw_c1, n_occ = jax.lax.map(
+            coarse_chunk,
+            (ro1.reshape(-1, chunk, 3), rd1.reshape(-1, chunk, 3),
+             te1.reshape(-1, chunk), span1.reshape(-1, chunk)))
+        rgb1 = rgb1.reshape(k1, 3)
+        acc1 = acc1.reshape(k1)
+        t_c1 = t_c1.reshape(k1, M)
+        raw_c1 = raw_c1.reshape(k1, M, 4)
+        stats["mean_occupied_candidates"] = n_occ.reshape(-1).mean()
+
+        # --- fine-pass compaction by coarse opacity ---------------------
+        live1 = (sel1 < n) & jnp.take(active, sel1, unique_indices=True)
+        acc_key = jnp.where(live1, acc1, -1.0)
+        order2 = jnp.argsort(-acc_key)
+        sel2 = order2[:k2]
+        stats["fine_overflow"] = jnp.maximum((acc_key > 1e-3).sum() - k2, 0)
+        take2 = lambda x: jnp.take(x, sel2, axis=0, unique_indices=True)
+        ro2, rd2 = take2(ro1), take2(rd1)
+        te2, sp2 = take2(te1), take2(span1)
+        t_c2, raw_c2 = take2(t_c1), take2(raw_c1)
+
+        # --- fine: CDF samples, merge with saved coarse raws ------------
+        def fine_chunk(args):
+            ro, rd, span, t_c, raw_c = args
+            w = _gap_capped_weights(raw_c[..., 3], t_c, span, C, act)
+            w_bins = 0.5 * (w[..., :-1] + w[..., 1:])
+            t_f = sample_pdf(t_c, w_bins, F, key=None)            # (c, F)
+            pts = ro[:, None] + rd[:, None] * t_f[..., None]
+            raw_f = apply_fn(params, pts, rd[:, None], "fine")
+            t_cat = jnp.concatenate([t_c, t_f], axis=-1)
+            ops = jax.lax.sort(
+                (t_cat,) + tuple(
+                    jnp.concatenate([raw_c[..., i], raw_f[..., i]], axis=-1)
+                    for i in range(4)),
+                dimension=-1, num_keys=1)
+            t_all = ops[0]
+            rgb_all = jax.nn.sigmoid(jnp.stack(ops[1:4], axis=-1))
+            w_all = _gap_capped_weights(ops[4], t_all, span, C, act)
+            acc = w_all.sum(-1)
+            rgb_map = (w_all[..., None] * rgb_all).sum(-2)
+            if s.white_bkgd:
+                rgb_map = rgb_map + (1.0 - acc[..., None])
+            return rgb_map
+
+        fine_rgb = jax.lax.map(
+            fine_chunk,
+            (ro2.reshape(-1, chunk, 3), rd2.reshape(-1, chunk, 3),
+             sp2.reshape(-1, chunk), t_c2.reshape(-1, chunk, M),
+             raw_c2.reshape(-1, chunk, M, 4))).reshape(k2, 3)
+
+        # --- assemble ----------------------------------------------------
+        # grid-proven-empty rays composite as pure background even when
+        # capacity slack pulled them into the coarse set
+        bg = 1.0 if s.white_bkgd else 0.0
+        act1 = jnp.take(active, sel1, unique_indices=True)
+        rgb1 = jnp.where(act1[:, None], rgb1, bg)
+        rgb = jnp.full((n_full, 3), bg).at[sel1].set(
+            rgb1, unique_indices=True)
+        sel_full = jnp.take(sel1, sel2, unique_indices=True)
+        act2 = jnp.take(act1, sel2, unique_indices=True)
+        fine_rgb = jnp.where(act2[:, None], fine_rgb, bg)
+        rgb = rgb.at[sel_full].set(fine_rgb, unique_indices=True)[:n]
+        if out_dtype == jnp.uint8:
+            rgb = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0
+                            ).astype(jnp.uint8)
+        else:
+            rgb = rgb.astype(out_dtype)
+        return (rgb, stats) if return_stats else rgb
+
+    return jax.jit(fn)

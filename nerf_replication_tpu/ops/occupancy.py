@@ -84,6 +84,63 @@ def _dilate(grid: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+def ray_spans(rays_o, rays_d, t_probe, grid, bbox, margin: float = 0.0):
+    """Per-ray occupied span [t_enter, t_exit] from grid probes.
+
+    The instant-ngp raymarcher advances rays only through occupied
+    cells; the TPU-native static-shape analog bounds each ray's sample
+    range to the first..last occupied probe (one dense probe pass, then
+    masked min/max reductions — no data-dependent loops).
+
+    Args:
+      rays_o/rays_d: (N, 3); t_probe: (S,) probe depths; grid (R,R,R)
+      uint8 (dilated); bbox (6,); margin: widen the span by this much on
+      each side (callers pass ~2 probe steps so a surface straddling a
+      probe interval stays inside).
+
+    Returns (active (N,), t_enter (N,), t_exit (N,)): inactive rays get
+    the full [t_probe[0], t_probe[-1]] span.
+    """
+    lo = jnp.asarray(bbox[:3], jnp.float32)
+    hi = jnp.asarray(bbox[3:], jnp.float32)
+    r = grid.shape[0]
+    t = jnp.asarray(t_probe)
+    pts = rays_o[:, None] + rays_d[:, None] * t[None, :, None]   # (N, S, 3)
+    u = (pts - lo) / (hi - lo)
+    inside = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
+    cell = jnp.clip((u * r).astype(jnp.int32), 0, r - 1)
+    flat = (cell[..., 0] * r + cell[..., 1]) * r + cell[..., 2]
+    occ = jnp.take(grid.reshape(-1), flat.reshape(-1),
+                   axis=0).reshape(flat.shape)
+    hit = (occ > 0) & inside                                      # (N, S)
+    active = jnp.any(hit, axis=-1)
+    t_lo = jnp.float32(t[0])
+    t_hi = jnp.float32(t[-1])
+    BIG = jnp.float32(1e10)
+    t_enter = jnp.min(jnp.where(hit, t[None, :], BIG), axis=-1)
+    t_exit = jnp.max(jnp.where(hit, t[None, :], -BIG), axis=-1)
+    t_enter = jnp.clip(t_enter - margin, t_lo, t_hi)
+    t_exit = jnp.clip(t_exit + margin, t_lo, t_hi)
+    t_enter = jnp.where(active, t_enter, t_lo)
+    t_exit = jnp.where(active, t_exit, t_hi)
+    return active, t_enter, t_exit
+
+
+def points_occupied(pts, grid, bbox):
+    """(..., 3) world points -> (...) bool occupancy (points outside the
+    bbox are unoccupied). Trace-safe."""
+    lo = jnp.asarray(bbox[:3], jnp.float32)
+    hi = jnp.asarray(bbox[3:], jnp.float32)
+    r = grid.shape[0]
+    u = (pts - lo) / (hi - lo)
+    inside = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
+    cell = jnp.clip((u * r).astype(jnp.int32), 0, r - 1)
+    flat = (cell[..., 0] * r + cell[..., 1]) * r + cell[..., 2]
+    occ = jnp.take(grid.reshape(-1), flat.reshape(-1),
+                   axis=0).reshape(flat.shape)
+    return (occ > 0) & inside
+
+
 def rays_active(rays_o, rays_d, t_probe, grid, bbox):
     """Probe occupancy along each ray at depths ``t_probe``.
 

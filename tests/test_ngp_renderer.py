@@ -1,0 +1,148 @@
+"""Structural tests for the NGP occupancy-raymarch frame renderer
+(models/nerf/renderer/ngp_renderer.py). Quality-vs-dense is gated on
+real TPU in bench.py; here we verify the static-shape machinery:
+culling, compaction, chunking invariance, and the eval-apply parity
+with the Flax network."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_replication_tpu.config.cfg_node import CN
+from nerf_replication_tpu.models.nerf.network import init_params, make_network
+from nerf_replication_tpu.models.nerf.renderer.ngp_renderer import (
+    make_ngp_eval_apply,
+    make_ngp_frame_renderer,
+)
+from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+    RenderSettings,
+)
+
+
+def _tiny_ngp_cfg():
+    return CN({
+        "task_arg": {"use_viewdirs": True},
+        "network": {
+            "dtype": "float32",
+            "nerf": {"W": 16, "D": 2, "V_D": 1, "skips": [1]},
+            "xyz_encoder": {
+                "type": "cuda_hashgrid", "backend": "brick",
+                "input_dim": 3, "num_levels": 3, "level_dim": 2,
+                "base_resolution": 4, "desired_resolution": 16,
+                "log2_hashmap_size": 10, "log2_bricks": 4,
+                "bounds": [-1.2, -1.2, -1.2, 1.2, 1.2, 1.2],
+            },
+            "dir_encoder": {"type": "sphere_harmonics", "degree": 2},
+        },
+    })
+
+
+@pytest.fixture(scope="module")
+def ngp():
+    net = make_network(_tiny_ngp_cfg())
+    params = init_params(net, jax.random.key(0))
+    return net, params
+
+
+def test_eval_apply_matches_network(ngp):
+    """The baked eval apply (eval-encode kernel + XLA MLP) must match
+    net.apply up to bf16 table quantization."""
+    net, params = ngp
+    apply_fn = make_ngp_eval_apply(net, params)
+    assert apply_fn is not None
+    pts = jax.random.uniform(jax.random.key(1), (7, 5, 3), jnp.float32,
+                             -1.0, 1.0)
+    dirs = jax.random.normal(jax.random.key(2), (7, 1, 3))
+    raw_ref = net.apply(params, pts, dirs, model="fine")
+    raw_fast = apply_fn(params, pts, dirs, "fine")
+    assert raw_fast.shape == raw_ref.shape
+    np.testing.assert_allclose(np.asarray(raw_fast), np.asarray(raw_ref),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_eval_apply_refuses_non_brick():
+    cfg = _tiny_ngp_cfg()
+    cfg.network.xyz_encoder["backend"] = "xla"
+    net = make_network(cfg)
+    params = init_params(net, jax.random.key(0))
+    assert make_ngp_eval_apply(net, params) is None
+
+
+def _frame_setup(ngp, grid_value, **kw):
+    net, params = ngp
+    apply_fn = make_ngp_eval_apply(net, params)
+    s = RenderSettings(N_samples=8, N_importance=8, ray_chunk=64,
+                       density_activation="softplus")
+    grid = np.full((8, 8, 8), grid_value, np.uint8)
+    occupancy = (grid, (-1.5, -1.5, -1.5, 1.5, 1.5, 1.5), 2)
+    H = W = 8
+    focal = 0.5 * W / np.tan(0.3)
+    fn = make_ngp_frame_renderer(
+        apply_fn, H, W, focal=focal, occupancy=occupancy, s=s,
+        out_dtype=jnp.float32, return_stats=True, **kw)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 4.0
+    return fn, params, jnp.asarray(c2w)
+
+
+def test_empty_grid_renders_background(ngp):
+    fn, params, c2w = _frame_setup(ngp, grid_value=0, n_candidates=8,
+                                   n_coarse=4, n_fine=4, capacity=0.5)
+    rgb, stats = fn(params, c2w)
+    assert int(stats["active_rays"]) == 0
+    np.testing.assert_allclose(np.asarray(rgb), 1.0, atol=1e-6)
+
+
+def test_full_grid_all_active_and_chunk_invariant(ngp):
+    fn, params, c2w = _frame_setup(ngp, grid_value=1, n_candidates=8,
+                                   n_coarse=8, n_fine=4, capacity=1.0,
+                                   fine_capacity=1.0, probe_sub=1)
+    rgb, stats = fn(params, c2w)
+    assert int(stats["active_rays"]) == 64
+    assert int(stats["coarse_overflow"]) == 0
+    # chunking must not change the image (same compaction order per ray)
+    net, params2 = ngp
+    apply_fn = make_ngp_eval_apply(net, params2)
+    s2 = RenderSettings(N_samples=8, N_importance=8, ray_chunk=32,
+                        density_activation="softplus")
+    fn2 = make_ngp_frame_renderer(
+        apply_fn, 8, 8, focal=0.5 * 8 / np.tan(0.3),
+        occupancy=(np.ones((8, 8, 8), np.uint8),
+                   (-1.5, -1.5, -1.5, 1.5, 1.5, 1.5), 2),
+        s=s2, n_candidates=8, n_coarse=8, n_fine=4, capacity=1.0,
+        fine_capacity=1.0, probe_sub=1, out_dtype=jnp.float32,
+        return_stats=True)
+    rgb2, _ = fn2(params, c2w)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb2),
+                               atol=1e-5)
+
+
+def test_uint8_output(ngp):
+    fn, params, c2w = _frame_setup(ngp, grid_value=1, n_candidates=8,
+                                   n_coarse=4, n_fine=4, capacity=0.5)
+    # rebuild with uint8 out
+    net, _ = ngp
+    apply_fn = make_ngp_eval_apply(net, params)
+    s = RenderSettings(N_samples=8, N_importance=8, ray_chunk=64,
+                       density_activation="softplus")
+    fn8 = make_ngp_frame_renderer(
+        apply_fn, 8, 8, focal=0.5 * 8 / np.tan(0.3),
+        occupancy=(np.ones((8, 8, 8), np.uint8),
+                   (-1.5, -1.5, -1.5, 1.5, 1.5, 1.5), 2),
+        s=s, n_candidates=8, n_coarse=4, n_fine=4, capacity=0.5,
+        out_dtype=jnp.uint8)
+    img = fn8(params, c2w)
+    assert img.dtype == jnp.uint8 and img.shape == (64, 3)
+
+
+def test_shallow_dilation_rejected(ngp):
+    net, params = ngp
+    apply_fn = make_ngp_eval_apply(net, params)
+    s = RenderSettings()
+    with pytest.raises(ValueError, match="dilated"):
+        make_ngp_frame_renderer(
+            apply_fn, 8, 8, focal=10.0,
+            occupancy=(np.ones((8, 8, 8), np.uint8),
+                       (-1.5, -1.5, -1.5, 1.5, 1.5, 1.5), 1),
+            s=s, probe_sub=4)
