@@ -1,27 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark: 800x800 hierarchical render fps on the flagship lego-config
-NeRF (64+128 samples, coarse+fine 8x256 MLP), run on real TPU.
+"""Benchmark: 800x800 render fps on the flagship model, run on real TPU.
 
 Prints ONE JSON line:
   {"metric": "render_fps_800x800", "value": N, "unit": "fps",
    "vs_baseline": N / 5.0}
 (baseline: the BASELINE.md north-star target of 5 fps at 800x800).
 
-Render path (the product frame renderer, volume_renderer.py
-make_frame_renderer): device-side ray generation, occupancy-grid ESS
-(instant-ngp-style cached bitfield from the TRAINED density — background
-rays skip every MLP call), static top-K compaction, fine render of
-survivors via the fused Pallas MLP kernel, one uint8 image download.
+Two model modes (BENCH_MODEL env, default: ngp when an NGP checkpoint
+exists, else freq):
 
-Uses the trained checkpoint from scripts/quality_run.py
-(data/pretrain/hard) when present — occupancy culling is only
-meaningful on a trained field; without it the bench falls back to
-random params + static capacity 0.5 (content-independent, round-1
-semantics).
+* ngp  — the brick-hash-grid instant-ngp-class flagship through the
+  occupancy-raymarch renderer (ngp_renderer.py): span-bounded
+  occupied-selected sampling, two-stage compaction, eval-only encode
+  kernel. An in-bench QUALITY GATE renders one pose on the dense
+  hierarchical path and walks a sample-count ladder until the fast
+  frame is within BENCH_NGP_GATE dB (default 40) of the dense frame —
+  the headline number is always backed by a measured fidelity check.
+* freq — the 8x256 frequency flagship through the compacted frame
+  renderer + fused Pallas MLP (round-2 path, dense-exact for active
+  rays).
 
-Env knobs: BENCH_SIZE, BENCH_FRAMES, BENCH_FAST=0 (dense),
-BENCH_PALLAS=0 (XLA MLP), BENCH_CAPACITY / BENCH_COARSE_CAPACITY,
-BENCH_OCC=0 (disable grid), BENCH_RAY_CHUNK.
+Env knobs (shared): BENCH_SIZE, BENCH_FRAMES, BENCH_TIMEOUT.
+freq: BENCH_FAST, BENCH_PALLAS, BENCH_CAPACITY, BENCH_COARSE_CAPACITY,
+      BENCH_OCC, BENCH_RAY_CHUNK, BENCH_ERT, BENCH_ERT_FRAC.
+ngp:  BENCH_NGP_CFG, BENCH_NGP_CKPT, BENCH_NGP_GATE, BENCH_NGP_LADDER
+      ("C,M,F;C,M,F;..."), BENCH_OCC_RES, BENCH_OCC_THRESH,
+      BENCH_RAY_CHUNK, BENCH_MXU_ROWS.
 """
 
 from __future__ import annotations
@@ -33,13 +37,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
+
 
 def _arm_watchdog():
     """If the TPU tunnel is wedged (device ops never complete), emit a
     zero-valued metric line instead of hanging the driver forever."""
     import threading
 
-    timeout = float(os.environ.get("BENCH_TIMEOUT", "2400"))
+    timeout = float(os.environ.get("BENCH_TIMEOUT", "3000"))
 
     def fire():
         print(json.dumps({
@@ -56,17 +62,221 @@ def _arm_watchdog():
     return t
 
 
-def main():
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(fps, watchdog):
+    watchdog.cancel()
+    print(json.dumps({
+        "metric": "render_fps_800x800",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 5.0, 3),
+    }))
+
+
+def orbit_poses(frames):
+    import numpy as np
+
+    from nerf_replication_tpu.utils.synthetic_scene import look_at_pose
+
+    return [look_at_pose(np.array(
+        [4.0 * np.cos(a), 4.0 * np.sin(a), 1.5], dtype=np.float32))
+        for a in np.linspace(0, 2 * np.pi, frames + 1)[:-1]]
+
+
+def time_frames(frame_fn, params, poses, fetch):
+    """Throughput timing with one-frame overlap: dispatch frame i+1
+    before fetching frame i (the host download rides under the next
+    frame's device work)."""
+    import numpy as np
+    pending = []
+    t0 = time.time()
+    for pose in poses:
+        pending.append(frame_fn(params, pose))
+        if len(pending) > 1:
+            fetch(pending.pop(0))
+    while pending:
+        fetch(pending.pop(0))
+    wall = time.time() - t0
+    per = wall / len(poses)
+    log(f"frames: {len(poses)} in {wall:.2f}s ({per:.3f}s/frame)")
+    return 1.0 / per
+
+
+def ray_grid(H, W, focal, c2w):
+    import numpy as np
+    us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    dirs = np.stack([(us.ravel() - W / 2.0) / focal,
+                     -(vs.ravel() - H / 2.0) / focal,
+                     -np.ones(H * W, np.float32)], -1)
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape)
+    return rays_o.astype(np.float32), rays_d.astype(np.float32)
+
+
+def _detect_bricks(table_rows, enc_cfg):
+    """Infer log2_bricks from a checkpoint's table row count."""
+    from nerf_replication_tpu.ops.pallas.hashgrid_kernel import (
+        make_brick_layout,
+    )
+    for b in (12, 11, 10, 9, 8, 13, 14):
+        lay = make_brick_layout(
+            int(enc_cfg.get("num_levels", 16)),
+            int(enc_cfg.get("base_resolution", 16)),
+            int(enc_cfg.get("desired_resolution", -1)),
+            log2_bricks=b)
+        if lay.n_rows == table_rows:
+            return b
+    return None
+
+
+def run_ngp(watchdog):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from nerf_replication_tpu.utils.compile_cache import enable_compile_cache
+    from nerf_replication_tpu.config import default_cfg, load_cfg_tree
+    from nerf_replication_tpu.evaluators.metrics import psnr_uint8
+    from nerf_replication_tpu.models import make_network
+    from nerf_replication_tpu.models.nerf.renderer.ngp_renderer import (
+        make_ngp_eval_apply,
+        make_ngp_frame_renderer,
+    )
+    from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+        Renderer,
+        RenderSettings,
+    )
+    from nerf_replication_tpu.ops.occupancy import build_occupancy_grid
+    from nerf_replication_tpu.ops.ray_ops import density_activation
+    from nerf_replication_tpu.utils.ckpt_utils import load_pretrain
 
-    enable_compile_cache()
-    watchdog = _arm_watchdog()
+    H = W = int(os.environ.get("BENCH_SIZE", "800"))
+    frames = int(os.environ.get("BENCH_FRAMES", "4"))
+    gate_db = float(os.environ.get("BENCH_NGP_GATE", "40"))
 
+    cfg_file = os.environ.get("BENCH_NGP_CFG", "configs/nerf/hard_ngp.yaml")
+    cfg = load_cfg_tree(os.path.join(ROOT, cfg_file), default_cfg())
+    ckpt = os.environ.get("BENCH_NGP_CKPT", "")
+    if not ckpt:
+        for cand in ("hard_ngp", "med_ngp_b10", "med_ngp"):
+            d = os.path.join(ROOT, "data", "pretrain", cand)
+            if os.path.isdir(d):
+                ckpt = d
+                break
+    trained = load_pretrain(ckpt)
+    params = jax.tree.map(jnp.asarray, trained)
+    rows = params["params"]["xyz_encoder"]["table"].shape[0]
+    bricks = _detect_bricks(rows, cfg.network.xyz_encoder)
+    if bricks is None:
+        log(f"ngp bench: cannot match table rows {rows} to a "
+            "log2_bricks setting; falling back to freq mode")
+        return run_freq(watchdog)
+    cfg.network.xyz_encoder["log2_bricks"] = bricks
+    log(f"ngp bench: checkpoint {ckpt} (log2_bricks={bricks})")
+
+    net = make_network(cfg)
+    apply_fn = make_ngp_eval_apply(
+        net, params,
+        mxu_max_rows=int(os.environ.get("BENCH_MXU_ROWS", "512")))
+    settings = dataclasses.replace(
+        RenderSettings.from_cfg(cfg),
+        ray_chunk=int(os.environ.get(
+            "BENCH_RAY_CHUNK", cfg.task_arg.get("ray_chunk", 8000))),
+        fast_sampling=False)
+    act = density_activation(settings.density_activation)
+
+    def density_fn(p, pts):
+        return act(apply_fn(p, pts[:, None, :],
+                            jnp.zeros((1, 1, 3)), "fine")[:, 0, 3])
+
+    t0 = time.time()
+    grid, bbox = build_occupancy_grid(
+        density_fn, params,
+        resolution=int(os.environ.get("BENCH_OCC_RES", "64")),
+        threshold=float(os.environ.get("BENCH_OCC_THRESH", "0.02")),
+        dilate=2)
+    log(f"occupancy grid: {float(grid.mean()):.3f} occupied, built in "
+        f"{time.time() - t0:.1f}s")
+    occupancy = (grid, bbox, 2)
+
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
+    poses = orbit_poses(frames)
+
+    # --- dense reference frame (gate target), product dense math -------
+    renderer = Renderer(net, settings=settings, mesh=None).use_apply(
+        apply_fn)
+    ro0, rd0 = ray_grid(H, W, focal, poses[0])
+    t0 = time.time()
+    dense = renderer.render_rays_batch(params, ro0, rd0)
+    dense_img = np.clip(np.asarray(dense["rgb"]), 0, 1)
+    dense_s = time.time() - t0
+    log(f"dense reference frame: {dense_s:.1f}s ({1 / dense_s:.3f} fps)")
+
+    def fetch(res):
+        img = res[0] if isinstance(res, tuple) else res
+        return np.asarray(img)
+
+    ladder_env = os.environ.get("BENCH_NGP_LADDER",
+                                "24,10,8;32,14,12;48,20,16;64,32,24")
+    ladder = [tuple(int(v) for v in step.split(","))
+              for step in ladder_env.split(";") if step]
+    capacity = float(os.environ.get("BENCH_CAPACITY", "0.35"))
+    fine_cap = None
+    frame_fn = None
+    chosen = None
+    for C, M, F in ladder:
+        fn = make_ngp_frame_renderer(
+            apply_fn, H, W, focal=focal, occupancy=occupancy, s=settings,
+            n_candidates=C, n_coarse=M, n_fine=F, capacity=capacity,
+            fine_capacity=fine_cap, out_dtype=jnp.uint8,
+            return_stats=True)
+        img, stats = fn(params, jnp.asarray(poses[0]))
+        img = np.asarray(img)
+        stats = {k: float(v) for k, v in stats.items()}
+        if os.environ.get("BENCH_AUTOCAP", "1") == "1":
+            active_frac = stats["active_rays"] / (H * W)
+            new_cap = min(1.0, active_frac * 1.1 + 0.02)
+            if abs(new_cap - capacity) > 0.03:
+                log(f"autocap: active {active_frac:.3f} -> {new_cap:.2f}")
+                capacity = new_cap
+                fn = make_ngp_frame_renderer(
+                    apply_fn, H, W, focal=focal, occupancy=occupancy,
+                    s=settings, n_candidates=C, n_coarse=M, n_fine=F,
+                    capacity=capacity, fine_capacity=fine_cap,
+                    out_dtype=jnp.uint8, return_stats=True)
+                img, stats = fn(params, jnp.asarray(poses[0]))
+                img = np.asarray(img)
+                stats = {k: float(v) for k, v in stats.items()}
+        q = psnr_uint8(img.reshape(H, W, 3).astype(np.float32) / 255.0,
+                       dense_img.reshape(H, W, 3))
+        log(f"ladder C={C} M={M} F={F}: {q:.1f} dB vs dense "
+            f"(gate {gate_db}), stats={stats}")
+        if q >= gate_db:
+            frame_fn, chosen = fn, (C, M, F, q)
+            break
+    if frame_fn is None:
+        log("ngp gate: no ladder step passed; reporting dense-path fps")
+        emit(1.0 / dense_s, watchdog)
+        return
+    log(f"ngp gate PASSED at C,M,F={chosen[:3]} ({chosen[3]:.1f} dB)")
+
+    fps = time_frames(frame_fn, params, [jnp.asarray(p) for p in poses],
+                      fetch)
+    emit(fps, watchdog)
+
+
+def run_freq(watchdog):
     import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from __graft_entry__ import _flagship
     from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
@@ -74,7 +284,6 @@ def main():
     )
     from nerf_replication_tpu.ops.ray_ops import density_activation
     from nerf_replication_tpu.utils.ckpt_utils import load_pretrain
-    from nerf_replication_tpu.utils.synthetic_scene import look_at_pose
 
     H = W = int(os.environ.get("BENCH_SIZE", "800"))
     frames = int(os.environ.get("BENCH_FRAMES", "4"))
@@ -88,18 +297,16 @@ def main():
 
     # trained flagship (quality_run.py artifact): enables content-true
     # occupancy culling and a softplus density matching its training
-    pre_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "data", "pretrain", "hard")
+    pre_dir = os.path.join(ROOT, "data", "pretrain", "hard")
     trained = load_pretrain(pre_dir) if os.path.isdir(pre_dir) else None
     density_act = "relu"
     if trained is not None:
         params = jax.tree.map(jnp.asarray, trained)
         density_act = "softplus"  # hard.yaml task_arg.density_activation
-        print("bench: using trained 'hard' checkpoint", file=sys.stderr)
+        log("bench: using trained 'hard' checkpoint")
     else:
         use_occ = False
-        print("bench: no trained checkpoint; random params, static "
-              "capacity", file=sys.stderr)
+        log("bench: no trained checkpoint; random params, static capacity")
 
     settings = dataclasses.replace(
         settings, ray_chunk=ray_chunk, fast_sampling=fast,
@@ -111,7 +318,7 @@ def main():
     renderer = Renderer(net, settings=settings, mesh=None)
     if use_pallas:
         ok = renderer.enable_fused_mlp(params)
-        print(f"fused pallas MLP: {ok}", file=sys.stderr)
+        log(f"fused pallas MLP: {ok}")
 
     occupancy = None
     if use_occ and fast:
@@ -129,9 +336,9 @@ def main():
             resolution=int(os.environ.get("BENCH_OCC_RES", "64")),
             threshold=float(os.environ.get("BENCH_OCC_THRESH", "0.05")),
             dilate=2)
-        print(f"occupancy grid: {float(grid.mean()):.3f} occupied, built "
-              f"in {time.time() - t0:.1f}s", file=sys.stderr)
-        occupancy = (grid, bbox)
+        log(f"occupancy grid: {float(grid.mean()):.3f} occupied, built "
+            f"in {time.time() - t0:.1f}s")
+        occupancy = (grid, bbox, 2)
 
     capacity = float(os.environ.get("BENCH_CAPACITY",
                                     "0.35" if occupancy else "0.5"))
@@ -146,22 +353,20 @@ def main():
             out_dtype=jnp.uint8, occupancy=occupancy, return_stats=True)
 
     frame_fn = build(capacity, coarse_capacity)
+    poses = orbit_poses(frames)
 
-    poses = [look_at_pose(np.array(
-        [4.0 * np.cos(a), 4.0 * np.sin(a), 1.5], dtype=np.float32))
-        for a in np.linspace(0, 2 * np.pi, frames + 1)[:-1]]
-
-    def fetch(x):
+    def fetch(res):
         # host transfer: the only reliable completion fence on the
         # experimental tunneled backend (block_until_ready returns early)
-        return np.asarray(x)
+        img = res[0] if isinstance(res, tuple) else res
+        return np.asarray(img)
 
     # warmup / compile; then right-size the static ray budgets to the
     # measured scene coverage (BENCH_AUTOCAP=0 keeps the env knobs)
     img, stats = frame_fn(params, jnp.asarray(poses[0]))
-    fetch(img)
+    fetch((img,))
     stats = {k: int(v) for k, v in stats.items()}
-    print(f"frame stats: {stats}", file=sys.stderr)
+    log(f"frame stats: {stats}")
     if (occupancy is not None and fast
             and os.environ.get("BENCH_AUTOCAP", "1") == "1"):
         active_frac = stats["active_rays"] / (H * W)
@@ -169,35 +374,41 @@ def main():
         new_cap = min(new_ccap, active_frac * 1.10 + 0.02)
         if abs(new_ccap - coarse_capacity) > 0.03 or \
                 abs(new_cap - capacity) > 0.03:
-            print(f"autocap: active {active_frac:.3f} -> coarse "
-                  f"{new_ccap:.2f}, fine {new_cap:.2f}", file=sys.stderr)
+            log(f"autocap: active {active_frac:.3f} -> coarse "
+                f"{new_ccap:.2f}, fine {new_cap:.2f}")
             capacity, coarse_capacity = new_cap, new_ccap
             frame_fn = build(capacity, coarse_capacity)
             img, stats = frame_fn(params, jnp.asarray(poses[0]))
-            fetch(img)
+            fetch((img,))
             stats = {k: int(v) for k, v in stats.items()}
-            print(f"frame stats: {stats}", file=sys.stderr)
+            log(f"frame stats: {stats}")
     if stats.get("coarse_overflow", 0) or stats.get("fine_overflow", 0):
-        print("WARNING: capacity overflow — some real rays rendered "
-              "coarse-only or as background; raise BENCH_CAPACITY/"
-              "BENCH_COARSE_CAPACITY for full quality", file=sys.stderr)
+        log("WARNING: capacity overflow — some real rays rendered "
+            "coarse-only or as background; raise BENCH_CAPACITY/"
+            "BENCH_COARSE_CAPACITY for full quality")
 
-    times = []
-    for pose in poses:
-        t0 = time.time()
-        img, _ = frame_fn(params, jnp.asarray(pose))
-        fetch(img)
-        times.append(time.time() - t0)
-        print(f"frame: {times[-1]:.3f}s", file=sys.stderr, flush=True)
+    fps = time_frames(frame_fn, params, [jnp.asarray(p) for p in poses],
+                      fetch)
+    emit(fps, watchdog)
 
-    fps = 1.0 / float(np.mean(times))
-    watchdog.cancel()
-    print(json.dumps({
-        "metric": "render_fps_800x800",
-        "value": round(fps, 3),
-        "unit": "fps",
-        "vs_baseline": round(fps / 5.0, 3),
-    }))
+
+def main():
+    from nerf_replication_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    watchdog = _arm_watchdog()
+
+    mode = os.environ.get("BENCH_MODEL", "")
+    if not mode:
+        has_ngp = any(os.path.isdir(os.path.join(
+            ROOT, "data", "pretrain", c))
+            for c in ("hard_ngp", "med_ngp_b10", "med_ngp"))
+        mode = "ngp" if has_ngp else "freq"
+    log(f"bench mode: {mode}")
+    if mode == "ngp":
+        run_ngp(watchdog)
+    else:
+        run_freq(watchdog)
 
 
 if __name__ == "__main__":

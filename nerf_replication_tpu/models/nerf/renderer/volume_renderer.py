@@ -274,6 +274,15 @@ def fine_stage_ert(
     if surv_frac is None:
         surv_frac = (s.ert_frac if s.ert_frac else
                      tuple(0.5 * (0.8 ** i) for i in range(n_seg - 1)))
+    # user-supplied fractions may be shorter than n_seg-1 boundaries
+    # (e.g. BENCH_ERT=3 with a single BENCH_ERT_FRAC value): extend with
+    # the default decay from the last given value
+    surv_frac = tuple(surv_frac)
+    if len(surv_frac) < n_seg - 1:
+        last = surv_frac[-1] if surv_frac else 0.5
+        surv_frac = surv_frac + tuple(
+            last * (0.8 ** (i + 1))
+            for i in range(n_seg - 1 - len(surv_frac)))
 
     rgb_acc = jnp.zeros((n, 3), jnp.float32)
     depth_acc = jnp.zeros((n,), jnp.float32)
@@ -454,6 +463,15 @@ class Renderer:
         self._params = params
         return self
 
+    def use_apply(self, apply_fn) -> "Renderer":
+        """Route all eval paths through a custom
+        ``apply_fn(params, pts, viewdirs, model)`` (e.g. the baked NGP
+        eval apply from ngp_renderer.make_ngp_eval_apply). Training
+        keeps the differentiable apply captured at __init__."""
+        self.apply_fn = apply_fn
+        self._build_eval_chunk_fns(apply_fn)
+        return self
+
     def enable_fused_mlp(self, params) -> bool:
         """Route eval MLP evaluation through the Pallas fused kernel
         (ops/pallas/mlp_kernel.py). Weights are baked from ``params`` at
@@ -608,6 +626,9 @@ class Renderer:
 
             occ_grid = jnp.asarray(np.asarray(occupancy[0], np.uint8))
             occ_bbox = tuple(float(b) for b in occupancy[1])
+            # occupancy tuples may carry their dilation radius as a 3rd
+            # element; conservatively assume the minimum (1) otherwise
+            occ_dilate = int(occupancy[2]) if len(occupancy) > 2 else 1
             # probe step must stay under the grid's dilation margin so a
             # ray cannot step across an occupied cell unseen
             r = occ_grid.shape[0]
@@ -617,12 +638,15 @@ class Renderer:
             # diverge by at most q px, i.e. far*q/focal in world units —
             # sound as long as that stays under the grid's dilation
             # margin (>= 1 cell of the >=2-cell dilation is reserved for
-            # the probe step itself). Cuts probe gathers q^2 x.
+            # the probe step itself, so subsampling needs dilate >= 2).
+            # Cuts probe gathers q^2 x.
             occ_sub = 1
-            for q in (4, 2):
-                if q * s.far / focal <= cell and H % q == 0 and W % q == 0:
-                    occ_sub = q
-                    break
+            if occ_dilate >= 2:
+                for q in (4, 2):
+                    if q * s.far / focal <= cell and H % q == 0 \
+                            and W % q == 0:
+                        occ_sub = q
+                        break
 
         def fn(params, c2w):
             us, vs = jnp.meshgrid(

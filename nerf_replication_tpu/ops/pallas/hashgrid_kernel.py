@@ -19,7 +19,12 @@ TPU-first design instead:
   reduces on the VPU. Two strategies fetch the rows:
   - ``mxu`` (small levels): one-hot(bid) @ table on the MXU in bf16 —
     an embedding lookup as matmul; the backward is the transposed
-    matmul, so there is no scatter at all.
+    matmul, so there is no scatter at all. NOTE: the backward casts the
+    per-point contribution rows to bfloat16 before that transposed
+    matmul, so mxu-level TABLE GRADIENTS are quantized to bf16 mantissa
+    per block (tests tolerate 5e-2 relative error; training quality is
+    unaffected in practice — Adam noise dominates). Scalar-strategy
+    levels accumulate gradients in f32.
   - ``scalar`` (large levels): one dynamic-row copy per point (~10 ns,
     scripts/probe_pallas_gather.py) with brick ids scalar-read from
     SMEM; the backward accumulates per-point 256-lane contribution

@@ -38,6 +38,41 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
+def check_params_compat(loaded, expected):
+    """Raise a descriptive error when a loaded checkpoint's leaf shapes
+    do not match the constructed network's.
+
+    The classic trap: hash-grid backends have different table shapes
+    (brick: (n_rows, 256); xla: (table_size, n_features)), so loading a
+    checkpoint trained with the other backend — or another
+    ``log2_bricks`` — fails deep inside jit with an opaque shape error.
+    Name the knob instead.
+    """
+    def walk(lo, ex, path):
+        if isinstance(ex, dict) and isinstance(lo, dict):
+            for k in ex:
+                if k in lo:
+                    walk(lo[k], ex[k], path + (k,))
+            return
+        ls = getattr(lo, "shape", None)
+        es = getattr(ex, "shape", None)
+        if ls is not None and es is not None and tuple(ls) != tuple(es):
+            where = "/".join(path)
+            hint = ""
+            if path and path[-1] == "table":
+                hint = (" — hash-grid table shape mismatch: the "
+                        "checkpoint was trained with a different "
+                        "network.xyz_encoder backend ('brick' vs 'xla') "
+                        "or log2_bricks/log2_hashmap_size than this "
+                        "config selects")
+            raise ValueError(
+                f"checkpoint incompatible with network: param '{where}' "
+                f"has shape {tuple(ls)} but the network expects "
+                f"{tuple(es)}{hint}")
+
+    walk(loaded, expected, ())
+
+
 def save_model(net_params, opt_state, scheduler_state, recorder_state,
                epoch: int, model_dir: str, latest: bool = False,
                keep: int = 5):

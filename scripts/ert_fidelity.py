@@ -34,11 +34,8 @@ apply_fn = renderer.apply_fn
 def density_fn(p, pts):
     return act(apply_fn(p, pts[:, None, :], jnp.zeros((1, 1, 3)), "fine")[:, 0, 3])
 grid, bbox = build_occupancy_grid(density_fn, params, resolution=64, threshold=0.05, dilate=2)
-occ = (grid, bbox)
+occ = (grid, bbox, 2)
 
-c2w = np.eye(4, dtype=np.float32); c2w[2, 3] = 4.0
-import nerf_replication_tpu.datasets.pipeline as pip
-# camera from the hard scene test set? use a canonical pose
 from nerf_replication_tpu.utils.synthetic_scene import look_at_pose
 pose = look_at_pose(np.array([2.5, 2.5, 2.0], np.float32))
 

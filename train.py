@@ -32,6 +32,7 @@ def train(cfg, network):
     from nerf_replication_tpu.models.nerf.network import init_params
     from nerf_replication_tpu.train import make_recorder, make_trainer
     from nerf_replication_tpu.utils.ckpt_utils import (
+        check_params_compat,
         load_model,
         load_pretrain,
         save_model,
@@ -68,6 +69,7 @@ def train(cfg, network):
     begin_epoch = 0
     payload = load_model(cfg.trained_model_dir, resume=cfg.resume)
     if payload is not None:
+        check_params_compat(payload["net"], params)
         state = {"params": payload["net"], "opt_state": payload["optim"],
                  "step": payload["scheduler"].get("step", 0)}
         recorder.load_state_dict(payload["recorder"])
@@ -75,6 +77,7 @@ def train(cfg, network):
     elif cfg.pretrain != "":
         pre = load_pretrain(cfg.pretrain)
         if pre is not None:
+            check_params_compat(pre, params)
             state["params"] = pre
 
     # TPU fast path when the dataset can live on device
