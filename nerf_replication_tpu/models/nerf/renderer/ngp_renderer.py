@@ -129,7 +129,7 @@ def make_ngp_frame_renderer(
     s: RenderSettings, n_candidates: int = 32, n_coarse: int = 16,
     n_fine: int = 16, capacity: float = 0.35,
     fine_capacity: float | None = None, probe_sub: int = 4,
-    out_dtype=jnp.uint8, return_stats: bool = False,
+    out_dtype=jnp.uint8, return_stats: bool = False, mesh=None,
 ):
     """Build ``jit(fn)(params, c2w) -> rgb (H*W, 3)[, stats]``.
 
@@ -138,7 +138,9 @@ def make_ngp_frame_renderer(
     probe step + 1 for the ``probe_sub``-pixel ray divergence).
     ``capacity``/``fine_capacity`` are fractions of H*W bounding the
     active / fine-pass ray counts (static shapes; overflow reported in
-    ``stats``).
+    ``stats``). ``mesh``: a data Mesh shards each frame WITHIN the pose
+    (ray tensors P('data'), params replicated) so one frame uses every
+    chip.
     """
     n = H * W
     chunk = min(s.ray_chunk, n)
@@ -167,6 +169,22 @@ def make_ngp_frame_renderer(
     assert k1 % chunk == 0 and k2 % chunk == 0
     M, F, C = n_coarse, n_fine, n_candidates
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        n_dev = len(mesh.devices.ravel())
+        if chunk % n_dev:
+            raise ValueError(
+                f"ray_chunk {chunk} must be divisible by the mesh size "
+                f"{n_dev} for a sharded frame renderer")
+
+        def cst(x, *spec):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, _P(*spec)))
+    else:
+        cst = lambda x, *spec: x
+
     def fn(params, c2w):
         us, vs = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
                               jnp.arange(H, dtype=jnp.float32))
@@ -175,8 +193,11 @@ def make_ngp_frame_renderer(
         dirs = jnp.stack([(u - W / 2.0) / focal, -(v - H / 2.0) / focal,
                           -jnp.ones_like(u)], -1)
         rays_d = dirs @ c2w[:3, :3].T
-        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+        rays_d = cst(
+            rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True),
+            "data")
+        rays_o = cst(jnp.broadcast_to(c2w[:3, 3], rays_d.shape) + 0.0,
+                     "data")
 
         # --- span probe on the subsampled lattice -----------------------
         t_probe = jnp.linspace(s.near, s.far, n_probe)
@@ -235,8 +256,10 @@ def make_ngp_frame_renderer(
 
         rgb1, acc1, t_c1, raw_c1, n_occ = jax.lax.map(
             coarse_chunk,
-            (ro1.reshape(-1, chunk, 3), rd1.reshape(-1, chunk, 3),
-             te1.reshape(-1, chunk), span1.reshape(-1, chunk)))
+            (cst(ro1.reshape(-1, chunk, 3), None, "data"),
+             cst(rd1.reshape(-1, chunk, 3), None, "data"),
+             cst(te1.reshape(-1, chunk), None, "data"),
+             cst(span1.reshape(-1, chunk), None, "data")))
         rgb1 = rgb1.reshape(k1, 3)
         acc1 = acc1.reshape(k1)
         t_c1 = t_c1.reshape(k1, M)
@@ -279,9 +302,12 @@ def make_ngp_frame_renderer(
 
         fine_rgb = jax.lax.map(
             fine_chunk,
-            (ro2.reshape(-1, chunk, 3), rd2.reshape(-1, chunk, 3),
-             sp2.reshape(-1, chunk), t_c2.reshape(-1, chunk, M),
-             raw_c2.reshape(-1, chunk, M, 4))).reshape(k2, 3)
+            (cst(ro2.reshape(-1, chunk, 3), None, "data"),
+             cst(rd2.reshape(-1, chunk, 3), None, "data"),
+             cst(sp2.reshape(-1, chunk), None, "data"),
+             cst(t_c2.reshape(-1, chunk, M), None, "data"),
+             cst(raw_c2.reshape(-1, chunk, M, 4), None, "data"))
+            ).reshape(k2, 3)
 
         # --- assemble ----------------------------------------------------
         # grid-proven-empty rays composite as pure background even when
@@ -302,4 +328,10 @@ def make_ngp_frame_renderer(
             rgb = rgb.astype(out_dtype)
         return (rgb, stats) if return_stats else rgb
 
-    return jax.jit(fn)
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as _P
+
+    rep = NamedSharding(mesh, _P())
+    return jax.jit(fn, in_shardings=(rep, rep))

@@ -579,7 +579,8 @@ class Renderer:
     def make_frame_renderer(self, H: int, W: int, focal: float,
                             capacity: float = 0.5, out_dtype=jnp.float32,
                             occupancy=None, coarse_capacity: float | None
-                            = None, return_stats: bool = False):
+                            = None, return_stats: bool = False,
+                            mesh=None):
         """ONE jitted program per frame: device-side ray generation from
         the camera pose, static-capacity top-K ray compaction (TPU-native
         ESS — no host roundtrip), fine render of survivors, scatter-back.
@@ -605,6 +606,10 @@ class Renderer:
 
         Returns jit(fn)(params, c2w) -> rgb (H*W, 3)
         [, stats dict when return_stats].
+
+        ``mesh``: a data Mesh shards the frame WITHIN the pose — ray
+        tensors ride P('data') and each lax.map chunk is split over the
+        devices (params replicated), so a single frame uses every chip.
         """
         s = dataclasses.replace(self.settings, fast_sampling=False)
         coarse_s = dataclasses.replace(s, N_importance=0)
@@ -620,6 +625,22 @@ class Renderer:
         k1 = min(n_full, -(-k1 // chunk) * chunk)
         k1 = max(k1, k)
         apply_fn = self.apply_fn
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            n_dev = len(mesh.devices.ravel())
+            if chunk % n_dev:
+                raise ValueError(
+                    f"ray_chunk {chunk} must be divisible by the mesh "
+                    f"size {n_dev} for a sharded frame renderer")
+
+            def cst(x, *spec):
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, _P(*spec)))
+        else:
+            cst = lambda x, *spec: x
 
         if occupancy is not None:
             from ....ops.occupancy import rays_active
@@ -660,15 +681,19 @@ class Renderer:
             rays_d = dirs @ c2w[:3, :3].T
             rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
             rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
-            ro = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
-            rd = jnp.pad(rays_d, ((0, n_pad), (0, 0)), constant_values=1.0)
+            ro = cst(jnp.pad(rays_o, ((0, n_pad), (0, 0))), "data")
+            rd = cst(jnp.pad(rays_d, ((0, n_pad), (0, 0)),
+                             constant_values=1.0), "data")
             stats = {}
 
             def coarse_chunks(cro, crd):
+                # chunk axis sharded: every device cooperates on each
+                # lax.map iteration (the map axis stays sequential)
                 out = jax.lax.map(
                     lambda rr: render_rays(apply_fn, params, rr[0], rr[1],
                                            None, coarse_s, train=False),
-                    (cro.reshape(-1, chunk, 3), crd.reshape(-1, chunk, 3)))
+                    (cst(cro.reshape(-1, chunk, 3), None, "data"),
+                     cst(crd.reshape(-1, chunk, 3), None, "data")))
                 m = cro.shape[0]
                 return (out["rgb"].reshape(m, 3), out["acc"].reshape(m),
                         out["weights"].reshape(m, s.N_samples))
@@ -741,13 +766,15 @@ class Renderer:
                         jnp.take(sel1, sel2, unique_indices=True))
             fine = jax.lax.map(
                 fine_chunk,
-                (jnp.take(ro, sel_full, axis=0,
-                          unique_indices=True).reshape(-1, chunk, 3),
-                 jnp.take(rd, sel_full, axis=0,
-                          unique_indices=True).reshape(-1, chunk, 3),
-                 jnp.take(w1, sel2, axis=0,
-                          unique_indices=True).reshape(-1, chunk,
-                                                       s.N_samples)))
+                (cst(jnp.take(ro, sel_full, axis=0,
+                              unique_indices=True).reshape(-1, chunk, 3),
+                     None, "data"),
+                 cst(jnp.take(rd, sel_full, axis=0,
+                              unique_indices=True).reshape(-1, chunk, 3),
+                     None, "data"),
+                 cst(jnp.take(w1, sel2, axis=0,
+                              unique_indices=True).reshape(
+                         -1, chunk, s.N_samples), None, "data")))
             # assemble: background -> coarse composite for the coarse set
             # -> fine for the fine set (row scatters with unique indices)
             if sel1 is None:
@@ -764,7 +791,13 @@ class Renderer:
                 rgb = rgb.astype(out_dtype)
             return (rgb, stats) if return_stats else rgb
 
-        return jax.jit(fn)
+        if mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        rep = NamedSharding(mesh, _P())
+        return jax.jit(fn, in_shardings=(rep, rep))
 
     def render(self, batch, params=None, key=None, train=False):
         """Reference-contract entry: batch has rays_o/rays_d shaped

@@ -304,3 +304,102 @@ def test_brick_encoder_grads_shard_over_mesh():
     g_mesh = sharded_grad(tr, xs)
     np.testing.assert_allclose(np.asarray(g_mesh), np.asarray(g_single),
                                atol=2e-2, rtol=2e-2)
+
+
+def _tiny_freq_setup():
+    from nerf_replication_tpu.config import default_cfg, load_cfg_tree
+    from nerf_replication_tpu.models import make_network
+    from nerf_replication_tpu.models.nerf.network import init_params
+    from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+        Renderer,
+        RenderSettings,
+    )
+    import os as _os
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    cfg = load_cfg_tree(_os.path.join(root, "configs/nerf/lego.yaml"),
+                        default_cfg())
+    cfg.task_arg.N_samples = 8
+    cfg.task_arg.N_importance = 8
+    cfg.network.dtype = "float32"
+    cfg.network.nerf.W = 32
+    cfg.network.nerf.D = 2
+    cfg.network.nerf.skips = [1]
+    net = make_network(cfg)
+    params = init_params(net, jax.random.key(0))
+    s = RenderSettings(N_samples=8, N_importance=8, ray_chunk=32)
+    return Renderer(net, settings=s, mesh=None), params, s
+
+
+def test_frame_renderer_sharded_matches_single():
+    """VERDICT r2 task 4: the compacted frame renderer with in/out mesh
+    shardings must reproduce the single-device frame bitwise-ish."""
+    renderer, params, s = _tiny_freq_setup()
+    H = W = 8
+    focal = 0.5 * W / np.tan(0.3)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 4.0
+    occ = (np.ones((8, 8, 8), np.uint8),
+           (-1.5, -1.5, -1.5, 1.5, 1.5, 1.5), 2)
+    fn1 = renderer.make_frame_renderer(H, W, focal, capacity=0.75,
+                                       occupancy=occ,
+                                       out_dtype=jnp.float32)
+    mesh = make_mesh()
+    fn8 = renderer.make_frame_renderer(H, W, focal, capacity=0.75,
+                                       occupancy=occ,
+                                       out_dtype=jnp.float32, mesh=mesh)
+    img1 = np.asarray(fn1(params, jnp.asarray(c2w)))
+    with mesh:
+        img8 = np.asarray(fn8(params, jnp.asarray(c2w)))
+    # sharded f32 reduction order perturbs the inverse-CDF bin choice
+    # for a few near-tie samples; a real sharding bug produces
+    # large-area garbage, not isolated 1e-3 wiggles
+    diff = np.abs(img8 - img1)
+    assert np.mean(diff > 1e-3) < 0.05, f"{np.mean(diff > 1e-3):.3f}"
+    assert diff.max() < 2e-2, f"max diff {diff.max():.3e}"
+
+
+def test_ngp_frame_renderer_sharded_matches_single():
+    from nerf_replication_tpu.config.cfg_node import CN
+    from nerf_replication_tpu.models.nerf.network import (
+        init_params,
+        make_network as mk_nerf,
+    )
+    from nerf_replication_tpu.models.nerf.renderer.ngp_renderer import (
+        make_ngp_eval_apply,
+        make_ngp_frame_renderer,
+    )
+    from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+        RenderSettings,
+    )
+
+    cfg = CN({"task_arg": {"use_viewdirs": True},
+              "network": {"dtype": "float32",
+                          "nerf": {"W": 16, "D": 2, "V_D": 1, "skips": [1]},
+                          "xyz_encoder": {
+                              "type": "cuda_hashgrid", "backend": "brick",
+                              "input_dim": 3, "num_levels": 3,
+                              "level_dim": 2, "base_resolution": 4,
+                              "desired_resolution": 16, "log2_bricks": 4,
+                              "bounds": [-1.2, -1.2, -1.2, 1.2, 1.2, 1.2]},
+                          "dir_encoder": {"type": "sphere_harmonics",
+                                          "degree": 2}}})
+    net = mk_nerf(cfg)
+    params = init_params(net, jax.random.key(0))
+    apply_fn = make_ngp_eval_apply(net, params)
+    s = RenderSettings(ray_chunk=32, density_activation="softplus")
+    occ = (np.ones((8, 8, 8), np.uint8),
+           (-1.5, -1.5, -1.5, 1.5, 1.5, 1.5), 2)
+    kw = dict(n_candidates=8, n_coarse=6, n_fine=6, capacity=0.75,
+              probe_sub=1, out_dtype=jnp.float32)
+    H = W = 8
+    focal = 0.5 * W / np.tan(0.3)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 4.0
+    fn1 = make_ngp_frame_renderer(apply_fn, H, W, focal, occ, s, **kw)
+    mesh = make_mesh()
+    fn8 = make_ngp_frame_renderer(apply_fn, H, W, focal, occ, s,
+                                  mesh=mesh, **kw)
+    img1 = np.asarray(fn1(params, jnp.asarray(c2w)))
+    with mesh:
+        img8 = np.asarray(fn8(params, jnp.asarray(c2w)))
+    np.testing.assert_allclose(img8, img1, atol=1e-5)
