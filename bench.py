@@ -308,10 +308,13 @@ def run_freq(watchdog):
         use_occ = False
         log("bench: no trained checkpoint; random params, static capacity")
 
+    # BENCH_ERT unset -> try 2-segment surface-split ERT behind an
+    # automated fidelity gate (VERDICT r2 task 3); explicit value -> obey
+    ert_env = os.environ.get("BENCH_ERT", "")
     settings = dataclasses.replace(
         settings, ray_chunk=ray_chunk, fast_sampling=fast,
         density_activation=density_act,
-        ert_segments=int(os.environ.get("BENCH_ERT", "1")),
+        ert_segments=int(ert_env) if ert_env else 1,
         ert_frac=tuple(float(f) for f in
                        os.environ.get("BENCH_ERT_FRAC", "").split(",")
                        if f))
@@ -386,6 +389,28 @@ def run_freq(watchdog):
         log("WARNING: capacity overflow — some real rays rendered "
             "coarse-only or as background; raise BENCH_CAPACITY/"
             "BENCH_COARSE_CAPACITY for full quality")
+
+    if ert_env == "" and occupancy is not None and fast:
+        # automated ERT gate: promote 2-segment surface-split ERT only
+        # when the rendered frame stays within BENCH_ERT_GATE dB of the
+        # dense frame (scripts/ert_fidelity.py logic in the product path)
+        from nerf_replication_tpu.evaluators.metrics import psnr_uint8
+
+        gate = float(os.environ.get("BENCH_ERT_GATE", "45"))
+        dense_img = fetch(frame_fn(params, jnp.asarray(poses[0])))
+        renderer.settings = dataclasses.replace(
+            renderer.settings, ert_segments=2)
+        ert_fn = build(capacity, coarse_capacity)
+        ert_img = fetch(ert_fn(params, jnp.asarray(poses[0])))
+        q = psnr_uint8(ert_img.astype(np.float32) / 255.0,
+                       dense_img.astype(np.float32) / 255.0)
+        if q >= gate:
+            log(f"ERT gate PASSED ({q:.1f} dB >= {gate}): 2-segment ERT on")
+            frame_fn = ert_fn
+        else:
+            log(f"ERT gate failed ({q:.1f} dB < {gate}): dense path kept")
+            renderer.settings = dataclasses.replace(
+                renderer.settings, ert_segments=1)
 
     fps = time_frames(frame_fn, params, [jnp.asarray(p) for p in poses],
                       fetch)

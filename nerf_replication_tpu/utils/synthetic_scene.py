@@ -66,6 +66,30 @@ MED_SPHERES = [
 
 SCENES = {"probe": DEFAULT_SPHERES, "hard": HARD_SPHERES,
           "med": MED_SPHERES}
+
+
+def variant_spheres(name: str, n_min: int = 6, n_max: int = 9):
+    """Deterministic per-name scene variant at med-class texture
+    frequencies — the 8-scene sweep's stand-ins for the NeRF-synthetic
+    scene list (chair/drums/..., BASELINE.json configs) in this
+    offline environment. Same name -> same scene, any process."""
+    import zlib
+
+    g = np.random.default_rng(zlib.crc32(name.encode()) & 0xFFFFFFFF)
+    n = int(g.integers(n_min, n_max + 1))
+    spheres = [((0.0, 0.0, 0.0), 0.5, tuple(g.uniform(0.2, 0.9, 3)),
+                220.0, 0.45, tuple(g.uniform(8.0, 25.0, 3)),
+                tuple(g.uniform(0, 2 * np.pi, 3)))]
+    for _ in range(n - 1):
+        u = g.normal(size=3)
+        u = u / np.linalg.norm(u)
+        c = u * g.uniform(0.35, 0.75)
+        spheres.append((
+            tuple(c), float(g.uniform(0.15, 0.35)),
+            tuple(g.uniform(0.1, 0.95, 3)), float(g.uniform(180, 260)),
+            float(g.uniform(0.35, 0.5)), tuple(g.uniform(15.0, 60.0, 3)),
+            tuple(g.uniform(0, 2 * np.pi, 3))))
+    return spheres
 CAMERA_ANGLE_X = 0.6911112070083618  # matches blender lego fov
 
 

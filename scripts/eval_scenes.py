@@ -24,6 +24,12 @@ def main():
     p.add_argument("--scenes", nargs="*", default=ALL_SCENES)
     p.add_argument("--train", action="store_true",
                    help="train each scene before evaluating")
+    p.add_argument("--generate", type=int, default=0, metavar="SIZE",
+                   help="generate missing scenes as procedural variants "
+                        "at SIZExSIZE (offline stand-ins for the real "
+                        "NeRF-synthetic data)")
+    p.add_argument("--views", type=int, default=40,
+                   help="train views per generated scene")
     p.add_argument("--out", default="result/scene_sweep.json")
     p.add_argument("--opts", nargs="*", default=[])
     args = p.parse_args()
@@ -35,6 +41,23 @@ def main():
         if not os.path.exists(cfg):
             print(f"skip {scene}: no config")
             continue
+        if args.generate:
+            scene_dir = os.path.join(root, "data/nerf_synthetic", scene)
+            if not os.path.exists(
+                    os.path.join(scene_dir, "transforms_train.json")):
+                sys.path.insert(0, root)
+                from nerf_replication_tpu.utils.synthetic_scene import (
+                    generate_scene,
+                    variant_spheres,
+                )
+                print(f"generating variant scene {scene} "
+                      f"({args.generate}px, {args.views} views)...",
+                      flush=True)
+                generate_scene(
+                    os.path.join(root, "data/nerf_synthetic"), scene,
+                    H=args.generate, W=args.generate,
+                    n_train=args.views, n_val=2, n_test=4,
+                    spheres=variant_spheres(scene))
         if args.train:
             subprocess.run(
                 [sys.executable, os.path.join(root, "train.py"),

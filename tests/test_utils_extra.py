@@ -199,3 +199,20 @@ def test_pipeline_sample_across_images():
     assert np.isfinite(np.asarray(batch["colors"])).all()
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(batch["rays_d"]), axis=-1), 1.0, rtol=1e-5)
+
+
+def test_variant_spheres_deterministic_and_distinct():
+    """8-scene sweep stand-ins: same name -> identical scene across
+    processes; different names -> different geometry."""
+    from nerf_replication_tpu.utils.synthetic_scene import variant_spheres
+
+    a1 = variant_spheres("chair")
+    a2 = variant_spheres("chair")
+    b = variant_spheres("drums")
+    assert a1 == a2
+    assert a1 != b
+    assert 6 <= len(a1) <= 9
+    for center, radius, rgb, dens, amp, freq, phase in a1:
+        assert 0.1 <= radius <= 0.55
+        assert all(0.0 <= c <= 1.0 for c in rgb)
+        assert dens > 100
