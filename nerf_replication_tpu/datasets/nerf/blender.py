@@ -152,6 +152,10 @@ class Dataset:
             "H": np.int32(self.H),
             "W": np.int32(self.W),
             "id": np.int32(index),
+            # camera for pose-based fast renderers (extra keys are
+            # harmless to the reference contract)
+            "pose": pose.astype(np.float32),
+            "focal": np.float32(self.focal),
         }
         if self.split == "test":
             if index < len(self.depths):

@@ -130,8 +130,9 @@ def make_ngp_frame_renderer(
     n_fine: int = 16, capacity: float = 0.35,
     fine_capacity: float | None = None, probe_sub: int = 4,
     out_dtype=jnp.uint8, return_stats: bool = False, mesh=None,
+    return_depth: bool = False,
 ):
-    """Build ``jit(fn)(params, c2w) -> rgb (H*W, 3)[, stats]``.
+    """Build ``jit(fn)(params, c2w) -> rgb (H*W, 3)[, depth][, stats]``.
 
     ``occupancy`` is ``(grid, bbox)`` or ``(grid, bbox, dilate)`` from
     ops/occupancy.py; the grid must be dilated >= 2 cells (1 for the
@@ -249,18 +250,20 @@ def make_ngp_frame_renderer(
             rgb = jax.nn.sigmoid(raw[..., :3])
             acc = w.sum(-1)
             rgb_map = (w[..., None] * rgb).sum(-2)
+            depth_map = (w * t_c).sum(-1)
             if s.white_bkgd:
                 rgb_map = rgb_map + (1.0 - acc[..., None])
-            return (rgb_map, acc, t_c, raw,
+            return (rgb_map, depth_map, acc, t_c, raw,
                     occ_c.sum(-1).astype(jnp.int32))
 
-        rgb1, acc1, t_c1, raw_c1, n_occ = jax.lax.map(
+        rgb1, depth1, acc1, t_c1, raw_c1, n_occ = jax.lax.map(
             coarse_chunk,
             (cst(ro1.reshape(-1, chunk, 3), None, "data"),
              cst(rd1.reshape(-1, chunk, 3), None, "data"),
              cst(te1.reshape(-1, chunk), None, "data"),
              cst(span1.reshape(-1, chunk), None, "data")))
         rgb1 = rgb1.reshape(k1, 3)
+        depth1 = depth1.reshape(k1)
         acc1 = acc1.reshape(k1)
         t_c1 = t_c1.reshape(k1, M)
         raw_c1 = raw_c1.reshape(k1, M, 4)
@@ -296,18 +299,20 @@ def make_ngp_frame_renderer(
             w_all = _gap_capped_weights(ops[4], t_all, span, C, act)
             acc = w_all.sum(-1)
             rgb_map = (w_all[..., None] * rgb_all).sum(-2)
+            depth_map = (w_all * t_all).sum(-1)
             if s.white_bkgd:
                 rgb_map = rgb_map + (1.0 - acc[..., None])
-            return rgb_map
+            return rgb_map, depth_map
 
-        fine_rgb = jax.lax.map(
+        fine_rgb, fine_depth = jax.lax.map(
             fine_chunk,
             (cst(ro2.reshape(-1, chunk, 3), None, "data"),
              cst(rd2.reshape(-1, chunk, 3), None, "data"),
              cst(sp2.reshape(-1, chunk), None, "data"),
              cst(t_c2.reshape(-1, chunk, M), None, "data"),
-             cst(raw_c2.reshape(-1, chunk, M, 4), None, "data"))
-            ).reshape(k2, 3)
+             cst(raw_c2.reshape(-1, chunk, M, 4), None, "data")))
+        fine_rgb = fine_rgb.reshape(k2, 3)
+        fine_depth = fine_depth.reshape(k2)
 
         # --- assemble ----------------------------------------------------
         # grid-proven-empty rays composite as pure background even when
@@ -326,7 +331,17 @@ def make_ngp_frame_renderer(
                             ).astype(jnp.uint8)
         else:
             rgb = rgb.astype(out_dtype)
-        return (rgb, stats) if return_stats else rgb
+        out = (rgb,)
+        if return_depth:
+            depth = jnp.zeros((n_full,)).at[sel1].set(
+                jnp.where(act1, depth1, 0.0), unique_indices=True)
+            depth = depth.at[sel_full].set(
+                jnp.where(act2, fine_depth, 0.0),
+                unique_indices=True)[:n]
+            out = out + (depth,)
+        if return_stats:
+            out = out + (stats,)
+        return out if len(out) > 1 else out[0]
 
     if mesh is None:
         return jax.jit(fn)

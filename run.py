@@ -125,6 +125,75 @@ def run_evaluate():
     if cfg.network.get("use_pallas_mlp", False):
         print("fused pallas MLP:", renderer.enable_fused_mlp(params))
 
+    # brick-NGP nets route all eval MLP/encode calls through the
+    # forward-only eval kernel (ops/pallas/eval_encode.py)
+    ngp_apply = None
+    try:
+        from nerf_replication_tpu.models.nerf.renderer.ngp_renderer import (
+            make_ngp_eval_apply,
+        )
+
+        ngp_apply = make_ngp_eval_apply(network, params)
+    except Exception:
+        ngp_apply = None
+    if ngp_apply is not None:
+        renderer.use_apply(ngp_apply)
+        print("ngp eval-encode kernel: enabled")
+
+    # task_arg.fast_render: occupancy-raymarch frame path for NGP nets
+    # (instant-ngp eval semantics; quality bound by the occupancy grid,
+    # see ngp_renderer.py). Falls back silently for non-NGP nets.
+    frame_fn = None
+    if ngp_apply is not None and bool(cfg.task_arg.get("fast_render", 0)):
+        import jax
+        import jax.numpy as jnp
+
+        from nerf_replication_tpu.models.nerf.renderer.ngp_renderer import (
+            make_ngp_frame_renderer,
+        )
+        from nerf_replication_tpu.ops.occupancy import build_occupancy_grid
+        from nerf_replication_tpu.ops.ray_ops import density_activation
+
+        act = density_activation(
+            cfg.task_arg.get("density_activation", "relu"))
+
+        def density_fn(p, pts):
+            return act(ngp_apply(p, pts[:, None, :],
+                                 jnp.zeros((1, 1, 3)), "fine")[:, 0, 3])
+
+        grid, bbox = build_occupancy_grid(
+            density_fn, params,
+            resolution=int(cfg.task_arg.get("occ_resolution", 64)),
+            threshold=float(cfg.task_arg.get("occ_threshold", 0.02)),
+            dilate=2)
+        print(f"occupancy grid: {float(grid.mean()):.3f} occupied")
+        from nerf_replication_tpu.models.nerf.renderer.volume_renderer \
+            import RenderSettings
+
+        _settings = RenderSettings.from_cfg(cfg)
+
+        def make_frame(H, W, focal):
+            return make_ngp_frame_renderer(
+                ngp_apply, H, W, focal, (grid, bbox, 2), _settings,
+                n_candidates=int(cfg.task_arg.get("fast_candidates", 32)),
+                n_coarse=int(cfg.task_arg.get("fast_coarse", 16)),
+                n_fine=int(cfg.task_arg.get("fast_fine", 16)),
+                capacity=float(cfg.task_arg.get("fast_capacity", 0.4)),
+                out_dtype=jnp.float32, return_depth=True)
+
+        _frame_cache = {}
+
+        def frame_fn(batch):
+            H = int(np.asarray(batch["H"]).reshape(-1)[0])
+            W = int(np.asarray(batch["W"]).reshape(-1)[0])
+            focal = float(np.asarray(batch["focal"]).reshape(-1)[0])
+            key = (H, W, focal)
+            if key not in _frame_cache:
+                _frame_cache[key] = make_frame(H, W, focal)
+            pose = jnp.asarray(
+                np.asarray(batch["pose"]).reshape(4, 4))
+            return _frame_cache[key](params, pose)
+
     net_time = []
     for i, batch in enumerate(data_loader):
         profiling = bool(cfg.get("profile", False)) and i == 1
@@ -134,7 +203,10 @@ def run_evaluate():
             trace_cm = trace(os.path.join(cfg.record_dir, "trace"))
             trace_cm.__enter__()
         t0 = time.time()
-        output = renderer.render(batch, params=params)
+        if frame_fn is not None and "pose" in batch:
+            output = frame_fn(batch)
+        else:
+            output = renderer.render(batch, params=params)
         # host fetch: completion fence (block_until_ready is unreliable
         # on the tunneled backend)
         float(np.asarray(output[0]).sum())
