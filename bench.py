@@ -164,7 +164,10 @@ def run_ngp(watchdog):
     cfg = load_cfg_tree(os.path.join(ROOT, cfg_file), default_cfg())
     ckpt = os.environ.get("BENCH_NGP_CKPT", "")
     if not ckpt:
-        for cand in ("hard_ngp", "med_ngp_b10", "med_ngp"):
+        # smaller-table variants first: the eval encode is MXU-bound on
+        # one-hot FLOPs (proportional to table rows), and the capacity
+        # ablation (RESULTS_r03) shows b10/b9 hold flagship quality
+        for cand in ("hard_ngp", "med_ngp_b9", "med_ngp_b10", "med_ngp"):
             d = os.path.join(ROOT, "data", "pretrain", cand)
             if os.path.isdir(d):
                 ckpt = d
@@ -181,9 +184,11 @@ def run_ngp(watchdog):
     log(f"ngp bench: checkpoint {ckpt} (log2_bricks={bricks})")
 
     net = make_network(cfg)
+    # tables <= 2048 rows/level ride the one-hot MXU end to end (faster
+    # than the ~13 ns/row scalar fetch at these sizes)
     apply_fn = make_ngp_eval_apply(
         net, params,
-        mxu_max_rows=int(os.environ.get("BENCH_MXU_ROWS", "512")))
+        mxu_max_rows=int(os.environ.get("BENCH_MXU_ROWS", "2048")))
     settings = dataclasses.replace(
         RenderSettings.from_cfg(cfg),
         ray_chunk=int(os.environ.get(
