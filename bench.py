@@ -188,7 +188,8 @@ def run_ngp(watchdog):
     # than the ~13 ns/row scalar fetch at these sizes)
     apply_fn = make_ngp_eval_apply(
         net, params,
-        mxu_max_rows=int(os.environ.get("BENCH_MXU_ROWS", "2048")))
+        mxu_max_rows=int(os.environ.get("BENCH_MXU_ROWS", "2048")),
+        blk=int(os.environ.get("BENCH_BLK", "1024")))
     settings = dataclasses.replace(
         RenderSettings.from_cfg(cfg),
         ray_chunk=int(os.environ.get(

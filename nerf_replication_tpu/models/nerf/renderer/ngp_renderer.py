@@ -57,7 +57,8 @@ from ....ops.ray_ops import density_activation, sample_pdf
 from .volume_renderer import RenderSettings
 
 
-def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512):
+def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512,
+                        blk: int = 1024):
     """Eval-path ``apply_fn(params, pts, viewdirs, model)`` for a
     brick-backend NGP network: routes the hash encode through the
     forward-only eval kernel (ops/pallas/eval_encode.py) and keeps the
@@ -93,7 +94,7 @@ def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512):
             x = normalize_to_unit(x, bounds)
         x = jnp.clip(x, 0.0, 1.0)
         feat = brick_encode_eval(layout, packed, x,
-                                 mxu_max_rows=mxu_max_rows)
+                                 mxu_max_rows=mxu_max_rows, blk=blk)
         view_feat = None
         if net.use_viewdirs and viewdirs is not None:
             dirs = jnp.broadcast_to(viewdirs, shape + (viewdirs.shape[-1],))
