@@ -413,8 +413,21 @@ class Renderer:
             return net.apply(params, pts, viewdirs, model=model)
 
         self.apply_fn = apply_fn
+        train_apply = apply_fn
+        # cfg.network.use_pallas_mlp_train: run the TRAIN-path MLP
+        # through the differentiable fused kernels (ops/pallas/
+        # mlp_train.py) — bf16 delta chain, f32 master weights; the
+        # XLA apply remains the default and the eval reference
+        if cfg is not None and cfg.get("network", {}).get(
+                "use_pallas_mlp_train", False):
+            from ....ops.pallas.mlp_train import make_fused_train_apply
+
+            fused = make_fused_train_apply(net)
+            if fused is not None:
+                train_apply = fused
+        self.train_apply = train_apply
         self._render_train = jax.jit(
-            partial(render_rays, apply_fn, s=self.settings, train=True)
+            partial(render_rays, train_apply, s=self.settings, train=True)
         )
         # multi-device: shard eval ray chunks over the data mesh (params
         # replicated) — the reference shards eval views across ranks via
