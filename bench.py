@@ -167,7 +167,8 @@ def run_ngp(watchdog):
         # smaller-table variants first: the eval encode is MXU-bound on
         # one-hot FLOPs (proportional to table rows), and the capacity
         # ablation (RESULTS_r03) shows b10/b9 hold flagship quality
-        for cand in ("hard_ngp", "med_ngp_b9", "med_ngp_b10", "med_ngp"):
+        for cand in ("hard_ngp_b9", "hard_ngp_b10", "hard_ngp",
+                     "med_ngp_b9", "med_ngp_b10", "med_ngp"):
             d = os.path.join(ROOT, "data", "pretrain", cand)
             if os.path.isdir(d):
                 ckpt = d

@@ -81,12 +81,14 @@ class Dataset:
         self.poses = []        # (4, 4) float32 c2w
         self.depths = []
         self.normals = []
+        self.alphas = []       # (H, W) float32 GT coverage (when RGBA)
         for frame in frames:
             img_path = os.path.join(self.scene_root, frame["file_path"] + ".png")
             img = _load_png(img_path, size, Image.BILINEAR) / 255.0
             if img.ndim == 2:
                 img = np.stack([img] * 3, axis=-1)
             if img.shape[-1] == 4:
+                self.alphas.append(img[..., 3].astype(np.float32))
                 if self.keep_alpha_quirk:
                     img = img[..., :3]
                 else:
@@ -178,6 +180,13 @@ class Dataset:
             np.stack(self.poses),
             self.intrinsics(),
         )
+
+    def alpha_arrays(self):
+        """(N, H, W) float32 GT coverage, or None when the source images
+        carried no alpha channel (random-background training needs it)."""
+        if len(self.alphas) != len(self.images):
+            return None
+        return np.stack(self.alphas)
 
 
 @register("dataset", "nerf.blender", aliases=(

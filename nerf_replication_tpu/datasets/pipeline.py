@@ -33,6 +33,7 @@ class DeviceRayPipeline:
         precrop_iters: int = 0,
         precrop_frac: float = 0.5,
         sample_across_images: bool = False,
+        alphas: np.ndarray | None = None,   # (N, H, W) GT coverage
     ):
         # images live on device as uint8 (PNG sources are 8-bit, so the
         # /255 round-trip is exact): 4x less HBM and upload than f32 —
@@ -43,6 +44,12 @@ class DeviceRayPipeline:
                               ).astype(np.uint8)
         self.images = jnp.asarray(images)
         self.poses = jnp.asarray(poses)
+        self.alphas = None
+        if alphas is not None:
+            a = np.asarray(alphas)
+            if a.dtype != np.uint8:
+                a = np.round(np.clip(a, 0.0, 1.0) * 255.0).astype(np.uint8)
+            self.alphas = jnp.asarray(a)
         self.n_images, self.H, self.W = images.shape[:3]
         self.focal = float(K[0, 0])
         self.cx = float(K[0, 2])
@@ -72,7 +79,10 @@ class DeviceRayPipeline:
         constant — at lego scale that is a multi-hundred-MB literal the
         (remote) compiler must swallow per program. Callers thread this
         dict into ``sample(..., data=...)``."""
-        return {"images": self.images, "poses": self.poses}
+        d = {"images": self.images, "poses": self.poses}
+        if self.alphas is not None:
+            d["alphas"] = self.alphas
+        return d
 
     def sample(self, key: jax.Array, step: jax.Array | int = 1 << 30,
                data: dict | None = None) -> dict:
@@ -84,6 +94,8 @@ class DeviceRayPipeline:
         """
         images = self.images if data is None else data["images"]
         poses = self.poses if data is None else data["poses"]
+        alphas = (self.alphas if data is None
+                  else data.get("alphas", self.alphas))
         k_img, k_pix = jax.random.split(key)
         step = jnp.asarray(step)
         in_precrop = step < self.precrop_iters
@@ -100,9 +112,12 @@ class DeviceRayPipeline:
         u = jax.random.randint(ku, (self.n_rays,), u_lo, u_hi)
         v = jax.random.randint(kv, (self.n_rays,), v_lo, v_hi)
 
+        alpha = None
         if self.sample_across_images:
             img_idx = jax.random.randint(k_img, (self.n_rays,), 0, self.n_images)
             colors = images[img_idx, v, u]
+            if alphas is not None:
+                alpha = alphas[img_idx, v, u]
             pose = poses[img_idx]               # (n_rays, 4, 4)
             dirs = jnp.stack(
                 [(u - self.cx) / self.focal,
@@ -116,11 +131,16 @@ class DeviceRayPipeline:
         else:
             img_idx = jax.random.randint(k_img, (), 0, self.n_images)
             colors = images[img_idx, v, u]
+            if alphas is not None:
+                alpha = alphas[img_idx, v, u]
             rays_o, rays_d = self._pixel_rays(
                 poses[img_idx], u.astype(jnp.float32), v.astype(jnp.float32)
             )
         colors = colors.astype(jnp.float32) / 255.0
-        return {"rays_o": rays_o, "rays_d": rays_d, "colors": colors}
+        batch = {"rays_o": rays_o, "rays_d": rays_d, "colors": colors}
+        if alpha is not None:
+            batch["alpha"] = alpha.astype(jnp.float32) / 255.0
+        return batch
 
     def rays_for_pose(self, pose: jnp.ndarray):
         """All H*W rays of one camera (deterministic eval grid)."""

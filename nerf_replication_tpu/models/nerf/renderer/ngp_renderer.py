@@ -238,12 +238,21 @@ def make_ngp_frame_renderer(
             t_cand = te[:, None] + span[:, None] * uu[None, :]   # (c, C)
             p_cand = ro[:, None] + rd[:, None] * t_cand[..., None]
             occ_c = points_occupied(p_cand, grid, bbox)
-            # keep the n_coarse best candidates: occupied first, earlier
-            # positions as tie-break; then re-sort the kept set by depth
+            # keep n_coarse candidates with COVERAGE: sort occupied-first
+            # (ascending depth within each class), then stride evenly
+            # through the occupied pool — a plain top-M would cluster at
+            # the span front whenever more than M candidates are occupied
             score = jnp.where(occ_c, 0.0, 2.0) + uu[None, :] * 1e-3
-            _, t_sel = jax.lax.sort((score, t_cand), dimension=-1,
-                                    num_keys=1)
-            t_c = jax.lax.sort(t_sel[:, :M], dimension=-1)        # (c, M)
+            _, t_sorted = jax.lax.sort((score, t_cand), dimension=-1,
+                                       num_keys=1)
+            pool = jnp.maximum(occ_c.sum(-1), M)                  # (c,)
+            j = jnp.arange(M, dtype=jnp.int32)
+            pos = (j[None, :] * pool[:, None]) // M               # (c, M)
+            onehot = (pos[..., None] ==
+                      jnp.arange(C, dtype=jnp.int32)[None, None]
+                      ).astype(t_sorted.dtype)
+            t_sel = jnp.einsum("cmk,ck->cm", onehot, t_sorted)
+            t_c = jax.lax.sort(t_sel, dimension=-1)               # (c, M)
             pts = ro[:, None] + rd[:, None] * t_c[..., None]
             vd = rd[:, None]
             raw = apply_fn(params, pts, vd, "fine")

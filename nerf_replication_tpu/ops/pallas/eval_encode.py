@@ -41,7 +41,10 @@ from .hashgrid_kernel import (
     compute_brick_ids,
 )
 
-_CP = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+# forward-only kernel, no cross-block state: 'parallel' lets Mosaic
+# pipeline the per-block DMAs (an 'arbitrary' grid serializes them —
+# measured ~5x slower on the dense render path)
+_CP = pltpu.CompilerParams(dimension_semantics=("parallel",),
                            vmem_limit_bytes=110 * 2 ** 20)
 _UNROLL = 8
 
@@ -108,6 +111,57 @@ def _eval_kernel(layout, blk, strategies, *refs):
                                                   keepdims=True)
 
 
+def _eval_kernel_v2(layout, blk, bidv_ref, pts_ref, tbf_ref, res_ref,
+                    s0_ref, s1_ref, out_ref):
+    """All-MXU fast path with LANE-PARALLEL geometry: lane = level*8 +
+    corner (L*8 <= 128), so the trilinear corner indices/weights for
+    EVERY level come out of ONE set of (B, 128) VPU ops instead of a
+    per-level pass — the per-level work shrinks to the one-hot row
+    fetch (MXU) and the corner gather."""
+    L = len(layout.scales)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
+    group = lane >> 3
+    dxv = (lane >> 2) & 1
+    dyv = (lane >> 1) & 1
+    dzv = lane & 1
+    res = res_ref[0:1, :]                              # (1, 128) f32
+    valid = lane < (8 * L)
+
+    fr = []
+    loc = []
+    for a in range(3):
+        pos = pts_ref[:, a:a + 1] * res                # (B, 128)
+        cell = jnp.clip(jnp.floor(pos), 0.0, jnp.maximum(res - 1.0, 0.0))
+        fr.append(pos - cell)
+        loc.append(cell.astype(jnp.int32) & (4 - 1))
+    li = ((loc[0] + dxv) * 25 + (loc[1] + dyv) * 5 + (loc[2] + dzv))
+    w = (jnp.where(dxv == 1, fr[0], 1.0 - fr[0])
+         * jnp.where(dyv == 1, fr[1], 1.0 - fr[1])
+         * jnp.where(dzv == 1, fr[2], 1.0 - fr[2]))
+    w = jnp.where(valid, w, 0.0)
+
+    acc0 = jnp.zeros((blk, 128), jnp.float32)
+    acc1 = jnp.zeros((blk, 128), jnp.float32)
+    for l in range(L):
+        o = layout.offsets[l]
+        nl = layout.offsets[l + 1] - o
+        r = jax.lax.broadcasted_iota(jnp.int32, (blk, nl), 1)
+        oh = (r == (bidv_ref[:, l:l + 1] - o)).astype(jnp.bfloat16)
+        rows = jax.lax.dot_general(
+            oh, tbf_ref[o:o + nl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, 256)
+        g0 = jnp.take_along_axis(rows[:, :128], li, axis=1)
+        g1 = jnp.take_along_axis(rows[:, 128:], li, axis=1)
+        sel = group == l
+        acc0 = acc0 + jnp.where(sel, w * g0, 0.0)
+        acc1 = acc1 + jnp.where(sel, w * g1, 0.0)
+    # per-level lane-group sums via two small matmuls: s0/s1 are
+    # (128, 2L) selectors (s0[lane, 2*(lane>>3)] = 1, s1 odd columns)
+    out_ref[...] = (
+        jnp.dot(acc0, s0_ref[...], preferred_element_type=jnp.float32)
+        + jnp.dot(acc1, s1_ref[...], preferred_element_type=jnp.float32))
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def brick_encode_eval(layout: BrickLayout, packed_table, x,
                       mxu_max_rows: int = 0, blk: int = 1024):
@@ -128,6 +182,36 @@ def brick_encode_eval(layout: BrickLayout, packed_table, x,
     bid_local = compute_brick_ids(layout, pts[:, :3])
     offs = jnp.asarray(layout.offsets[:L], jnp.int32)
     ids = bid_local + offs[None, :]
+
+    if all(st == "mxu" for st in strategies) and 8 * L <= 128:
+        # v2 lane-parallel fast path
+        f0, f1 = _unpack_f0_f1(packed_table)
+        tbf = jnp.concatenate([f0, f1], axis=1).astype(jnp.bfloat16)
+        res_lane = np.zeros((1, 128), np.float32)
+        s0 = np.zeros((128, 2 * L), np.float32)
+        s1 = np.zeros((128, 2 * L), np.float32)
+        for l in range(L):
+            res_lane[0, 8 * l:8 * l + 8] = layout.scales[l]
+            s0[8 * l:8 * l + 8, 2 * l] = 1.0
+            s1[8 * l:8 * l + 8, 2 * l + 1] = 1.0
+        out = pl.pallas_call(
+            partial(_eval_kernel_v2, layout, blk),
+            grid=(npad // blk,),
+            in_specs=[
+                pl.BlockSpec((blk, L), lambda i: (i, 0)),
+                pl.BlockSpec((blk, 8), lambda i: (i, 0)),
+                pl.BlockSpec((layout.n_rows, ROW), lambda i: (0, 0)),
+                pl.BlockSpec((1, 128), lambda i: (0, 0)),
+                pl.BlockSpec((128, 2 * L), lambda i: (0, 0)),
+                pl.BlockSpec((128, 2 * L), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((blk, 2 * L), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((npad, 2 * L), jnp.float32),
+            compiler_params=_CP,
+            interpret=_interpret(),
+        )(ids, pts, tbf, jnp.asarray(res_lane), jnp.asarray(s0),
+          jnp.asarray(s1))
+        return out[:n]
     # SMEM copy transposed to (L, blk): SMEM windows pad the LAST dim to
     # lanes, so (blk, L) would blow the ~1 MB SMEM budget at blk=1024
     ids_t = ids.T

@@ -65,8 +65,12 @@ BLK_MXU = 1024     # block when every level uses the mxu strategy (no
 MXU_MAX_ROWS = 4096   # levels at most this many rows use the mxu strategy
 _PRIMES = (1, 2654435761, 805459861)
 
+# the backward accumulates dtab across blocks -> 'arbitrary'; the
+# forward has no cross-block state -> 'parallel' (pipelined block DMAs)
 _CP = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                            vmem_limit_bytes=110 * 2 ** 20)
+_CP_FWD = pltpu.CompilerParams(dimension_semantics=("parallel",),
+                               vmem_limit_bytes=110 * 2 ** 20)
 
 
 def _interpret() -> bool:
@@ -302,7 +306,7 @@ def _brick_fwd_impl(layout, table, x):
         out_specs=pl.BlockSpec((blk, 2 * L), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((npad, 2 * L), jnp.float32),
         scratch_shapes=[pltpu.VMEM((blk, ROW), jnp.float32)],
-        compiler_params=_CP,
+        compiler_params=_CP_FWD,
         interpret=_interpret(),
     )(*args)
     return out[:n]

@@ -31,8 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mlp_kernel import TILE_N, _LANE, _kernel, _pad_to
 
-_CP = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
-                           vmem_limit_bytes=110 * 2 ** 20)
+# the BACKWARD accumulates weight grads across blocks -> 'arbitrary';
+# the forward has no cross-block state -> 'parallel' (pipelined DMAs)
+_CP_BWD = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                               vmem_limit_bytes=110 * 2 ** 20)
+_CP_FWD = pltpu.CompilerParams(dimension_semantics=("parallel",),
+                               vmem_limit_bytes=110 * 2 ** 20)
 
 
 def _weight_names(depth, skip):
@@ -174,7 +178,7 @@ def _fwd_impl(meta, weights, x, v):
         out_specs=pl.BlockSpec((tile_n, _LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_full, _LANE), jnp.float32),
-        compiler_params=_CP,
+        compiler_params=_CP_FWD,
         interpret=_interpret(),
     )(xp, vp, *ws)
     return out[:n, :4]
@@ -232,7 +236,7 @@ def _diff_bwd(meta, res, g):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        compiler_params=_CP,
+        compiler_params=_CP_BWD,
         interpret=_interpret(),
     )(xp, vp, gp, *ws)
     dw = {k: gr.astype(weights[k].dtype) for k, gr in zip(names, grads)}

@@ -46,12 +46,35 @@ class NetworkWrapper:
         rays_o = batch["rays_o"].reshape(-1, 3)
         rays_d = batch["rays_d"].reshape(-1, 3)
         colors = batch["colors"].reshape(-1, 3)
+        render_key = key
+        bg = None
+        if (train and key is not None
+                and bool(self.cfg.get("task_arg", {}).get(
+                    "random_bkgd", False))
+                and "alpha" in batch and self.settings.white_bkgd):
+            # random-background supervision (the instant-ngp trick):
+            # compositing each ray against a random color forces TRUE
+            # zero density in empty space — a white background lets the
+            # model hide "white fog" there instead, which defeats
+            # occupancy culling at eval (ngp_renderer.py). GT colors are
+            # white-composited by the loader; alpha recovers the
+            # premultiplied image exactly.
+            render_key, k_bg = jax.random.split(key)
+            alpha = batch["alpha"].reshape(-1, 1)
+            bg = jax.random.uniform(k_bg, colors.shape)
+            colors = (colors - (1.0 - alpha)) + bg * (1.0 - alpha)
         out = render_rays(self.apply_fn, params, rays_o, rays_d,
-                          key if train else None, self.settings, train=train)
-        mse_fine = jnp.mean((out["rgb"] - colors) ** 2)
+                          render_key if train else None, self.settings,
+                          train=train)
+        recompose = lambda rgb, acc: (
+            rgb + (bg - 1.0) * (1.0 - acc[..., None]) if bg is not None
+            else rgb)
+        rgb_fine = recompose(out["rgb"], out["acc"])
+        mse_fine = jnp.mean((rgb_fine - colors) ** 2)
         loss = mse_fine
         if self.coarse_loss and "rgb_coarse" in out:
-            loss = loss + jnp.mean((out["rgb_coarse"] - colors) ** 2)
+            rgb_coarse = recompose(out["rgb_coarse"], out["acc_coarse"])
+            loss = loss + jnp.mean((rgb_coarse - colors) ** 2)
         loss_stats = {
             "loss": loss,
             "color_mse": mse_fine,

@@ -125,11 +125,14 @@ def main():
     train_ds = Dataset(cfg, **{**cfg.train_dataset, "split": "train"})
     images, poses, K = train_ds.as_arrays()
     ta = cfg.task_arg
+    alphas = (train_ds.alpha_arrays()
+              if hasattr(train_ds, "alpha_arrays") else None)
     pipeline = DeviceRayPipeline(
         images, poses, K,
         n_rays=int(ta.get("N_rays", 1024)),
         precrop_iters=int(ta.get("precrop_iters", 0)),
-        precrop_frac=float(ta.get("precrop_frac", 0.5)))
+        precrop_frac=float(ta.get("precrop_frac", 0.5)),
+        alphas=alphas if bool(ta.get("random_bkgd", False)) else None)
 
     val_ds = Dataset(cfg, **{**cfg.test_dataset, "split": "val"})
     val_img = val_ds.images[0]

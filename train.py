@@ -85,11 +85,14 @@ def train(cfg, network):
     if hasattr(train_dataset, "as_arrays") and cfg.task != "img_fit":
         images, poses, K = train_dataset.as_arrays()
         ta = cfg.task_arg
+        alphas = (train_dataset.alpha_arrays()
+                  if hasattr(train_dataset, "alpha_arrays") else None)
         pipeline = DeviceRayPipeline(
             images, poses, K,
             n_rays=int(ta.get("N_rays", 1024)),
             precrop_iters=int(ta.get("precrop_iters", 0)),
             precrop_frac=float(ta.get("precrop_frac", 0.5)),
+            alphas=alphas if bool(ta.get("random_bkgd", False)) else None,
         )
 
     host_loader = None
