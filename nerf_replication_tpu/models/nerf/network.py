@@ -34,6 +34,12 @@ class NeRFMLP(nn.Module):
     skips: Sequence[int] = (4,)
     use_viewdirs: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    # initial density-head bias. softplus(0)=0.69 makes a fresh field
+    # nearly opaque (acc~1 on every ray), which kills the gradient of
+    # any background-dependent loss term (random_bkgd training would
+    # collapse into constant-grey fog). instant-ngp-style low-density
+    # init (e.g. -4 -> sigma_0=0.018) keeps rays transparent at start.
+    density_bias: float = 0.0
 
     @nn.compact
     def __call__(self, pts_feat: jnp.ndarray, view_feat: jnp.ndarray | None = None):
@@ -51,7 +57,10 @@ class NeRFMLP(nn.Module):
                 h = jnp.concatenate([x, h], axis=-1)
 
         if self.use_viewdirs:
-            sigma = dense(1, "alpha")(h)
+            sigma = nn.Dense(
+                1, dtype=self.dtype, param_dtype=jnp.float32,
+                bias_init=nn.initializers.constant(self.density_bias),
+                name="alpha")(h)
             feat = dense(self.width, "feature")(h)
             h = jnp.concatenate([feat, view_feat.astype(self.dtype)], axis=-1)
             for i in range(self.view_depth):
@@ -153,6 +162,7 @@ def make_network(cfg: CN) -> Network:
         skips=tuple(c.nerf.skips),
         use_viewdirs=use_viewdirs,
         dtype=dtype,
+        density_bias=float(c.nerf.get("density_bias", 0.0)),
     )
     return Network(
         coarse=mk(),

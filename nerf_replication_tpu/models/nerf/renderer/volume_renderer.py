@@ -76,6 +76,10 @@ class RenderSettings:
     ert_eps: float = 1e-4
     ert_frac: tuple = ()   # per-boundary survivor fractions; () = default
     ert_split: float = 2.0 / 3.0  # fraction of samples in segment 0
+    # finite far-tail delta (last sample spacing) instead of the
+    # reference 1e10 — REQUIRED with softplus density (see
+    # ray_ops.compute_weights); relu configs keep reference semantics
+    finite_tail: bool = False
 
     @classmethod
     def from_cfg(cls, cfg) -> "RenderSettings":
@@ -100,6 +104,7 @@ class RenderSettings:
             ert_eps=float(get("ert_eps", 1e-4)),
             ert_frac=tuple(float(f) for f in get("ert_frac", ())),
             ert_split=float(get("ert_split", 2.0 / 3.0)),
+            finite_tail=bool(get("finite_tail", False)),
         )
 
 
@@ -200,7 +205,8 @@ def fine_stage(
     noise_key = key_noise if (train and s.raw_noise_std > 0) else None
     w_f, _, _ = compute_weights(
         raw_f[..., 3], t_all, raw_noise_std=s.raw_noise_std, key=noise_key,
-        activation=density_activation(s.density_activation))
+        activation=density_activation(s.density_activation),
+        finite_tail=s.finite_tail)
     rgb_map, depth_map, acc_map = composite(rgb_f, w_f, t_all, s.white_bkgd)
     out = {"rgb": rgb_map, "depth": depth_map, "acc": acc_map,
            "raw": raw_f, "t_all": t_all}
@@ -267,9 +273,10 @@ def fine_stage_ert(
     while bounds[-1] < S:
         bounds.append(min(S, bounds[-1] + k_tail))
     n_seg = len(bounds) - 1
-    delta = jnp.concatenate(
-        [t_all[:, 1:] - t_all[:, :-1],
-         jnp.full((n, 1), 1e10, t_all.dtype)], axis=1)
+    d_ = t_all[:, 1:] - t_all[:, :-1]
+    tail_ = (d_[:, -1:] if s.finite_tail
+             else jnp.full((n, 1), 1e10, t_all.dtype))
+    delta = jnp.concatenate([d_, tail_], axis=1)
     act = density_activation(s.density_activation)
     if surv_frac is None:
         surv_frac = (s.ert_frac if s.ert_frac else
@@ -367,7 +374,8 @@ def render_rays(
     noise_key = k_noise_c if (train and s.raw_noise_std > 0) else None
     w_c, _, _ = compute_weights(
         raw_c[..., 3], t_coarse, raw_noise_std=s.raw_noise_std, key=noise_key,
-        activation=density_activation(s.density_activation)
+        activation=density_activation(s.density_activation),
+        finite_tail=s.finite_tail,
     )
     rgb_map_c, depth_map_c, acc_map_c = composite(rgb_c, w_c, t_coarse, s.white_bkgd)
 

@@ -103,6 +103,7 @@ def compute_weights(
     key: jax.Array | None = None,
     alpha_eps: float = 1e-10,
     activation=None,
+    finite_tail: bool = False,
 ):
     """Compositing weights from raw densities.
 
@@ -119,9 +120,20 @@ def compute_weights(
       transmittance T_i = prod_{j<i}(1 - alpha_j + eps)
       (reference weights_computation, volume_renderer.py:80-95, with the
       1e10 far-tail delta).
+
+    ``finite_tail``: use the last sample spacing as the tail delta
+    instead of the reference's 1e10. REQUIRED for strictly-positive
+    density activations (softplus): sigma > 0 times an infinite tail
+    makes the last sample absorb ALL remaining transmittance, so
+    acc == 1 on every ray — background compositing (and any
+    background-dependent loss term) is structurally dead, and the model
+    must paint the background into a far fog shell (the round-2 "white
+    fog" failure). relu configs keep the reference semantics.
     """
     delta = t[..., 1:] - t[..., :-1]
-    delta = jnp.concatenate([delta, jnp.full_like(delta[..., :1], 1e10)], axis=-1)
+    tail = (delta[..., -1:] if finite_tail
+            else jnp.full_like(delta[..., :1], 1e10))
+    delta = jnp.concatenate([delta, tail], axis=-1)
     if rays_d is not None:
         delta = delta * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     if raw_noise_std > 0.0 and key is not None:

@@ -41,9 +41,11 @@ def main():
     steps = int(os.environ.get("ABL_STEPS", "200"))
     rows = []
     for n_rays in (1024, 2048, 4096):
+      for mlp_path in ("xla", "fused"):
         cfg, net, params, settings, apply_fn = _flagship(n_rays=n_rays)
         cfg.ep_iter = steps
         cfg.task_arg.N_rays = n_rays
+        cfg.network["use_pallas_mlp_train"] = mlp_path == "fused"
 
         rng = np.random.default_rng(0)
         images = rng.uniform(size=(8, 128, 128, 3)).astype(np.float32)
@@ -66,9 +68,9 @@ def main():
         # fwd FLOPs, 8x256 MLP ~ 1.19 MFLOP/pt fwd
         pts = n_rays * steps * (64 + 192)
         tflops = pts * 1.19e6 * 3 / dt / 1e12
-        row = {"n_rays": n_rays, "steps": steps, "wall_s": round(dt, 2),
-               "rays_per_s": round(rays_s), "approx_mlp_tflops": round(
-                   tflops, 1)}
+        row = {"n_rays": n_rays, "mlp": mlp_path, "steps": steps,
+               "wall_s": round(dt, 2), "rays_per_s": round(rays_s),
+               "approx_mlp_tflops": round(tflops, 1)}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
