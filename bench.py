@@ -215,22 +215,58 @@ def run_ngp(watchdog):
     focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
     poses = orbit_poses(frames)
 
-    # --- dense reference frame (gate target), product dense math -------
+    # --- quality-gate targets -----------------------------------------
+    # Primary gate (VERDICT r2 task 1 "Done" criterion): fast-path test
+    # PSNR within BENCH_NGP_GATE_DROP dB (default 0.2) of the DENSE
+    # render's test PSNR on real GT views. Falls back to the
+    # frame-vs-dense >= BENCH_NGP_GATE dB criterion when the scene's
+    # test split is unavailable at bench size.
+    gate_drop = float(os.environ.get("BENCH_NGP_GATE_DROP", "0.2"))
+    n_gt = int(os.environ.get("BENCH_NGP_GT_VIEWS", "2"))
+    gt_imgs, gt_poses = [], []
+    try:
+        from nerf_replication_tpu.datasets.nerf.blender import (
+            Dataset as BlenderDS,
+        )
+        ds = BlenderDS(cfg, **{**dict(cfg.test_dataset), "split": "test"})
+        if ds.H == H and ds.W == W and len(ds.images) > 0:
+            stride = max(1, len(ds.images) // n_gt)
+            idx = list(range(0, len(ds.images), stride))[:n_gt]
+            gt_imgs = [ds.images[i] for i in idx]
+            gt_poses = [ds.poses[i] for i in idx]
+            focal = float(ds.focal)
+            log(f"gate: {len(idx)} GT test views {idx} "
+                f"(drop budget {gate_drop} dB)")
+    except Exception as e:  # noqa: BLE001 — gate falls back, bench runs
+        log(f"gate: no GT test split ({e}); frame-vs-dense gate")
+
+    # --- dense reference frames, product dense math --------------------
     renderer = Renderer(net, settings=settings, mesh=None).use_apply(
         apply_fn)
-    ro0, rd0 = ray_grid(H, W, focal, poses[0])
+    gate_poses = gt_poses if gt_imgs else [poses[0]]
+    dense_imgs = []
     t0 = time.time()
-    dense = renderer.render_rays_batch(params, ro0, rd0)
-    dense_img = np.clip(np.asarray(dense["rgb"]), 0, 1)
-    dense_s = time.time() - t0
-    log(f"dense reference frame: {dense_s:.1f}s ({1 / dense_s:.3f} fps)")
+    for pose in gate_poses:
+        ro0, rd0 = ray_grid(H, W, focal, pose)
+        dense = renderer.render_rays_batch(params, ro0, rd0)
+        dense_imgs.append(
+            np.clip(np.asarray(dense["rgb"]), 0, 1).reshape(H, W, 3))
+    dense_s = (time.time() - t0) / len(gate_poses)
+    log(f"dense reference: {dense_s:.1f}s/frame ({1 / dense_s:.3f} fps)")
+    dense_psnr = None
+    if gt_imgs:
+        dense_psnr = float(np.mean([
+            psnr_uint8(d, g) for d, g in zip(dense_imgs, gt_imgs)]))
+        log(f"dense test PSNR: {dense_psnr:.2f} dB "
+            f"(fast path must reach {dense_psnr - gate_drop:.2f})")
 
     def fetch(res):
         img = res[0] if isinstance(res, tuple) else res
         return np.asarray(img)
 
-    ladder_env = os.environ.get("BENCH_NGP_LADDER",
-                                "24,10,8;32,14,12;48,20,16;64,32,24")
+    ladder_env = os.environ.get(
+        "BENCH_NGP_LADDER",
+        "16,8,6;24,10,8;32,14,12;40,16,14;48,20,16;64,32,24")
     ladder = [tuple(int(v) for v in step.split(","))
               for step in ladder_env.split(";") if step]
     capacity = float(os.environ.get("BENCH_CAPACITY", "0.35"))
@@ -238,40 +274,66 @@ def run_ngp(watchdog):
     frame_fn = None
     chosen = None
     for C, M, F in ladder:
-        fn = make_ngp_frame_renderer(
-            apply_fn, H, W, focal=focal, occupancy=occupancy, s=settings,
-            n_candidates=C, n_coarse=M, n_fine=F, capacity=capacity,
-            fine_capacity=fine_cap, out_dtype=jnp.uint8,
-            return_stats=True)
-        img, stats = fn(params, jnp.asarray(poses[0]))
+        def build(cap, fcap, C=C, M=M, F=F):
+            return make_ngp_frame_renderer(
+                apply_fn, H, W, focal=focal, occupancy=occupancy,
+                s=settings, n_candidates=C, n_coarse=M, n_fine=F,
+                capacity=cap, fine_capacity=fcap, out_dtype=jnp.uint8,
+                return_stats=True)
+
+        fn = build(capacity, fine_cap)
+        img, stats = fn(params, jnp.asarray(gate_poses[0]))
         img = np.asarray(img)
         stats = {k: float(v) for k, v in stats.items()}
         if os.environ.get("BENCH_AUTOCAP", "1") == "1":
+            # right-size both static ray budgets to the measured frame:
+            # active rays bound the coarse pass, rays with non-trivial
+            # coarse opacity bound the fine pass
             active_frac = stats["active_rays"] / (H * W)
             new_cap = min(1.0, active_frac * 1.1 + 0.02)
-            if abs(new_cap - capacity) > 0.03:
-                log(f"autocap: active {active_frac:.3f} -> {new_cap:.2f}")
-                capacity = new_cap
-                fn = make_ngp_frame_renderer(
-                    apply_fn, H, W, focal=focal, occupancy=occupancy,
-                    s=settings, n_candidates=C, n_coarse=M, n_fine=F,
-                    capacity=capacity, fine_capacity=fine_cap,
-                    out_dtype=jnp.uint8, return_stats=True)
-                img, stats = fn(params, jnp.asarray(poses[0]))
+            new_fine = min(new_cap,
+                           stats["nontrivial_rays"] / (H * W) * 1.15
+                           + 0.01)
+            if (abs(new_cap - capacity) > 0.015
+                    or fine_cap is None
+                    or abs(new_fine - fine_cap) > 0.015):
+                log(f"autocap: active {active_frac:.3f} -> cap "
+                    f"{new_cap:.2f}, fine {new_fine:.2f}")
+                capacity, fine_cap = new_cap, new_fine
+                fn = build(capacity, fine_cap)
+                img, stats = fn(params, jnp.asarray(gate_poses[0]))
                 img = np.asarray(img)
                 stats = {k: float(v) for k, v in stats.items()}
         q = psnr_uint8(img.reshape(H, W, 3).astype(np.float32) / 255.0,
-                       dense_img.reshape(H, W, 3))
-        log(f"ladder C={C} M={M} F={F}: {q:.1f} dB vs dense "
-            f"(gate {gate_db}), stats={stats}")
-        if q >= gate_db:
+                       dense_imgs[0])
+        if gt_imgs:
+            fast_psnrs = [psnr_uint8(
+                img.reshape(H, W, 3).astype(np.float32) / 255.0,
+                gt_imgs[0])]
+            for pose, gt in zip(gate_poses[1:], gt_imgs[1:]):
+                im2, _ = fn(params, jnp.asarray(pose))
+                fast_psnrs.append(psnr_uint8(
+                    np.asarray(im2).reshape(H, W, 3).astype(np.float32)
+                    / 255.0, gt))
+            fast_psnr = float(np.mean(fast_psnrs))
+            drop = dense_psnr - fast_psnr
+            log(f"ladder C={C} M={M} F={F}: test {fast_psnr:.2f} dB "
+                f"(drop {drop:+.2f} vs dense, budget {gate_drop}; "
+                f"{q:.1f} dB vs dense frame), stats={stats}")
+            passed = drop <= gate_drop
+        else:
+            log(f"ladder C={C} M={M} F={F}: {q:.1f} dB vs dense "
+                f"(gate {gate_db}), stats={stats}")
+            passed = q >= gate_db
+        if passed:
             frame_fn, chosen = fn, (C, M, F, q)
             break
     if frame_fn is None:
         log("ngp gate: no ladder step passed; reporting dense-path fps")
         emit(1.0 / dense_s, watchdog)
         return
-    log(f"ngp gate PASSED at C,M,F={chosen[:3]} ({chosen[3]:.1f} dB)")
+    log(f"ngp gate PASSED at C,M,F={chosen[:3]} "
+        f"({chosen[3]:.1f} dB vs dense frame)")
 
     fps = time_frames(frame_fn, params, [jnp.asarray(p) for p in poses],
                       fetch)

@@ -20,10 +20,21 @@ Pipeline (all shapes compile-time static):
    selection — empty pockets inside the span are skipped exactly where
    the field is ~zero), evaluate, composite with gap-capped deltas;
 5. opacity compaction (top-k by coarse acc, static capacity);
-6. inverse-CDF fine samples; evaluate ONLY the new fine points; merge
-   with the saved coarse raws by a multi-operand ``lax.sort`` (no
-   re-evaluation of coarse positions, no gathers); composite;
+6. inverse-CDF fine samples in up to TWO rounds; evaluate ONLY the new
+   fine points; merge with the saved coarse raws by a multi-operand
+   ``lax.sort`` (no re-evaluation of coarse positions, no gathers);
+   composite;
 7. scatter back, optional uint8 output.
+
+``n_fine2`` > 0 adds a second importance round: re-derive the CDF
+from the merged round-1 weights and concentrate ``n_fine2`` more
+samples where transmittance actually drops. Measured on the trained
+hard scene it is NOT better than spending the same extra samples in
+one round (24,10,8+8 → 0.27 dB drop vs 32,14,12+0 → 0.00), so the
+default stays 0; the knob remains for fields with razor-thin softplus
+shells where one round cannot bracket the surface. (The ~35 dB
+fast-vs-dense error floor that motivated it was actually the bf16
+ray-direction matmul, fixed above — see scripts/diag_ngp_gap.py.)
 
 Sample counts: active rays pay ``n_coarse + n_fine`` MLP/encode points
 (vs ``N_samples + (N_samples + N_importance)`` on the dense path — 3-6x
@@ -131,7 +142,7 @@ def make_ngp_frame_renderer(
     n_fine: int = 16, capacity: float = 0.35,
     fine_capacity: float | None = None, probe_sub: int = 4,
     out_dtype=jnp.uint8, return_stats: bool = False, mesh=None,
-    return_depth: bool = False,
+    return_depth: bool = False, n_fine2: int = 0,
 ):
     """Build ``jit(fn)(params, c2w) -> rgb (H*W, 3)[, depth][, stats]``.
 
@@ -140,7 +151,8 @@ def make_ngp_frame_renderer(
     probe step + 1 for the ``probe_sub``-pixel ray divergence).
     ``capacity``/``fine_capacity`` are fractions of H*W bounding the
     active / fine-pass ray counts (static shapes; overflow reported in
-    ``stats``). ``mesh``: a data Mesh shards each frame WITHIN the pose
+    ``stats``). ``n_fine2`` > 0 adds an optional second importance
+    round (see module doc). ``mesh``: a data Mesh shards each frame WITHIN the pose
     (ray tensors P('data'), params replicated) so one frame uses every
     chip.
     """
@@ -169,7 +181,7 @@ def make_ngp_frame_renderer(
         sub = 1
     act = density_activation(s.density_activation)
     assert k1 % chunk == 0 and k2 % chunk == 0
-    M, F, C = n_coarse, n_fine, n_candidates
+    M, F, C, F2 = n_coarse, n_fine, n_candidates, n_fine2
 
     if mesh is not None:
         from jax.sharding import NamedSharding
@@ -194,7 +206,12 @@ def make_ngp_frame_renderer(
         v = vs.ravel()
         dirs = jnp.stack([(u - W / 2.0) / focal, -(v - H / 2.0) / focal,
                           -jnp.ones_like(u)], -1)
-        rays_d = dirs @ c2w[:3, :3].T
+        # Full f32 precision: the TPU default (bf16 inputs) perturbs ray
+        # directions by ~1e-3 relative, which at far~6 world units is
+        # several finest-level hash cells — visible as surface speckle
+        # vs the host-f32 dense path.
+        rays_d = jnp.einsum("nc,dc->nd", dirs, c2w[:3, :3],
+                            precision=jax.lax.Precision.HIGHEST)
         rays_d = cst(
             rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True),
             "data")
@@ -284,29 +301,40 @@ def make_ngp_frame_renderer(
         acc_key = jnp.where(live1, acc1, -1.0)
         order2 = jnp.argsort(-acc_key)
         sel2 = order2[:k2]
+        stats["nontrivial_rays"] = (acc_key > 1e-3).sum()
         stats["fine_overflow"] = jnp.maximum((acc_key > 1e-3).sum() - k2, 0)
         take2 = lambda x: jnp.take(x, sel2, axis=0, unique_indices=True)
         ro2, rd2 = take2(ro1), take2(rd1)
         te2, sp2 = take2(te1), take2(span1)
         t_c2, raw_c2 = take2(t_c1), take2(raw_c1)
 
-        # --- fine: CDF samples, merge with saved coarse raws ------------
+        # --- fine: CDF rounds, merge with saved coarse raws -------------
         def fine_chunk(args):
             ro, rd, span, t_c, raw_c = args
-            w = _gap_capped_weights(raw_c[..., 3], t_c, span, C, act)
-            w_bins = 0.5 * (w[..., :-1] + w[..., 1:])
-            t_f = sample_pdf(t_c, w_bins, F, key=None)            # (c, F)
-            pts = ro[:, None] + rd[:, None] * t_f[..., None]
-            raw_f = apply_fn(params, pts, rd[:, None], "fine")
-            t_cat = jnp.concatenate([t_c, t_f], axis=-1)
-            ops = jax.lax.sort(
-                (t_cat,) + tuple(
-                    jnp.concatenate([raw_c[..., i], raw_f[..., i]], axis=-1)
-                    for i in range(4)),
-                dimension=-1, num_keys=1)
-            t_all = ops[0]
-            rgb_all = jax.nn.sigmoid(jnp.stack(ops[1:4], axis=-1))
-            w_all = _gap_capped_weights(ops[4], t_all, span, C, act)
+
+            def cdf_round(t_prev, raw_prev, n_new):
+                """One importance round: CDF over the current merged
+                sample set -> n_new depths -> evaluate -> sorted merge."""
+                w = _gap_capped_weights(raw_prev[..., 3], t_prev, span,
+                                        C, act)
+                w_bins = 0.5 * (w[..., :-1] + w[..., 1:])
+                t_new = sample_pdf(t_prev, w_bins, n_new, key=None)
+                pts = ro[:, None] + rd[:, None] * t_new[..., None]
+                raw_new = apply_fn(params, pts, rd[:, None], "fine")
+                t_cat = jnp.concatenate([t_prev, t_new], axis=-1)
+                ops = jax.lax.sort(
+                    (t_cat,) + tuple(jnp.concatenate(
+                        [raw_prev[..., i], raw_new[..., i]], axis=-1)
+                        for i in range(4)),
+                    dimension=-1, num_keys=1)
+                return ops[0], jnp.stack(ops[1:], axis=-1)
+
+            t_all, raw_all = cdf_round(t_c, raw_c, F)
+            if F2 > 0:
+                t_all, raw_all = cdf_round(t_all, raw_all, F2)
+            rgb_all = jax.nn.sigmoid(raw_all[..., :3])
+            w_all = _gap_capped_weights(raw_all[..., 3], t_all, span,
+                                        C, act)
             acc = w_all.sum(-1)
             rgb_map = (w_all[..., None] * rgb_all).sum(-2)
             depth_map = (w_all * t_all).sum(-1)
