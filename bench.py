@@ -66,6 +66,45 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _ckpt_mtime(ckpt_dir):
+    try:
+        return max((os.path.getmtime(os.path.join(ckpt_dir, f))
+                    for f in os.listdir(ckpt_dir)), default=0.0)
+    except OSError:
+        return 0.0
+
+
+def _cache_path(kind, *key):
+    """result/bench_cache/<kind>-<hash>.npz for expensive gate inputs
+    (occupancy grid, dense reference frames) that depend only on the
+    checkpoint + render geometry. Keyed by checkpoint mtime, so a
+    retrain invalidates. BENCH_CACHE=0 disables."""
+    import hashlib
+    h = hashlib.sha1(repr(key).encode()).hexdigest()[:16]
+    d = os.path.join(ROOT, "result", "bench_cache")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{kind}-{h}.npz")
+
+
+def _cache_load(path):
+    import numpy as np
+    if os.environ.get("BENCH_CACHE", "1") != "1":
+        return None
+    try:
+        if os.path.exists(path):
+            return np.load(path)
+    except Exception as e:  # noqa: BLE001 — cache is best-effort
+        log(f"bench cache: ignoring unreadable {path}: {e}")
+    return None
+
+
+def _cache_save(path, **arrs):
+    import numpy as np
+    if os.environ.get("BENCH_CACHE", "1") != "1":
+        return
+    np.savez(path, **arrs)
+
+
 def emit(fps, watchdog):
     watchdog.cancel()
     print(json.dumps({
@@ -202,14 +241,25 @@ def run_ngp(watchdog):
         return act(apply_fn(p, pts[:, None, :],
                             jnp.zeros((1, 1, 3)), "fine")[:, 0, 3])
 
+    occ_res = int(os.environ.get("BENCH_OCC_RES", "64"))
+    occ_thresh = float(os.environ.get("BENCH_OCC_THRESH", "0.02"))
+    ck_mtime = _ckpt_mtime(ckpt)
+    grid_cache = _cache_path(
+        "occ", ckpt, ck_mtime, occ_res, occ_thresh, bricks)
+    cached = _cache_load(grid_cache)
     t0 = time.time()
-    grid, bbox = build_occupancy_grid(
-        density_fn, params,
-        resolution=int(os.environ.get("BENCH_OCC_RES", "64")),
-        threshold=float(os.environ.get("BENCH_OCC_THRESH", "0.02")),
-        dilate=2)
-    log(f"occupancy grid: {float(grid.mean()):.3f} occupied, built in "
-        f"{time.time() - t0:.1f}s")
+    if cached is not None:
+        grid, bbox = jnp.asarray(cached["grid"]), tuple(
+            float(b) for b in cached["bbox"])
+        log(f"occupancy grid: {float(grid.mean()):.3f} occupied (cached)")
+    else:
+        grid, bbox = build_occupancy_grid(
+            density_fn, params, resolution=occ_res,
+            threshold=occ_thresh, dilate=2)
+        _cache_save(grid_cache, grid=np.asarray(grid),
+                    bbox=np.asarray(bbox, np.float64))
+        log(f"occupancy grid: {float(grid.mean()):.3f} occupied, built "
+            f"in {time.time() - t0:.1f}s")
     occupancy = (grid, bbox, 2)
 
     focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
@@ -244,15 +294,27 @@ def run_ngp(watchdog):
     renderer = Renderer(net, settings=settings, mesh=None).use_apply(
         apply_fn)
     gate_poses = gt_poses if gt_imgs else [poses[0]]
-    dense_imgs = []
-    t0 = time.time()
-    for pose in gate_poses:
-        ro0, rd0 = ray_grid(H, W, focal, pose)
-        dense = renderer.render_rays_batch(params, ro0, rd0)
-        dense_imgs.append(
-            np.clip(np.asarray(dense["rgb"]), 0, 1).reshape(H, W, 3))
-    dense_s = (time.time() - t0) / len(gate_poses)
-    log(f"dense reference: {dense_s:.1f}s/frame ({1 / dense_s:.3f} fps)")
+    dense_cache = _cache_path(
+        "dense", ckpt, ck_mtime, H, W, len(gate_poses), round(focal, 3),
+        settings.N_samples, settings.N_importance)
+    cached = _cache_load(dense_cache)
+    if cached is not None:
+        dense_imgs = [cached[f"img{i}"] for i in range(len(gate_poses))]
+        dense_s = float(cached["dense_s"])
+        log(f"dense reference: {dense_s:.1f}s/frame (cached)")
+    else:
+        dense_imgs = []
+        t0 = time.time()
+        for pose in gate_poses:
+            ro0, rd0 = ray_grid(H, W, focal, pose)
+            dense = renderer.render_rays_batch(params, ro0, rd0)
+            dense_imgs.append(
+                np.clip(np.asarray(dense["rgb"]), 0, 1).reshape(H, W, 3))
+        dense_s = (time.time() - t0) / len(gate_poses)
+        _cache_save(dense_cache, dense_s=dense_s,
+                    **{f"img{i}": im for i, im in enumerate(dense_imgs)})
+        log(f"dense reference: {dense_s:.1f}s/frame "
+            f"({1 / dense_s:.3f} fps)")
     dense_psnr = None
     if gt_imgs:
         dense_psnr = float(np.mean([
@@ -496,7 +558,8 @@ def main():
     if not mode:
         has_ngp = any(os.path.isdir(os.path.join(
             ROOT, "data", "pretrain", c))
-            for c in ("hard_ngp", "med_ngp_b10", "med_ngp"))
+            for c in ("hard_ngp_b9", "hard_ngp_b10", "hard_ngp",
+                      "med_ngp_b9", "med_ngp_b10", "med_ngp"))
         mode = "ngp" if has_ngp else "freq"
     log(f"bench mode: {mode}")
     if mode == "ngp":

@@ -83,6 +83,13 @@ def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512,
     from ....ops.pallas import hashgrid_kernel as hk
     from ....ops.pallas.eval_encode import brick_encode_eval, pack_eval_table
 
+    import os as _os
+
+    from ....ops.pallas.fused_ngp import (
+        extract_mlp_weights,
+        fused_ngp_eval,
+    )
+
     enc = net.xyz_encoder
     if not isinstance(enc, HashGridEncoder) or enc.backend != "brick":
         return None
@@ -94,6 +101,27 @@ def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512,
     bounds = tuple(enc.bounds) if enc.bounds else None
     dir_enc = net.dir_encoder
 
+    # fully-fused encode+MLP kernel (ops/pallas/fused_ngp.py) when the
+    # network fits its supported shape; NGP_FUSED=0 forces the unfused
+    # encode-kernel + XLA-MLP chain (A/B + fallback knob)
+    L = len(layout.scales)
+    fusable = (
+        _os.environ.get("NGP_FUSED", "1") == "1"
+        and 8 * L <= 128
+        and all(layout.offsets[l + 1] - layout.offsets[l] <= max(
+            mxu_max_rows, 512) for l in range(L))
+        and net.use_viewdirs
+        and getattr(net.fine, "view_depth", None) == 1
+        and all(0 <= s < net.fine.depth for s in net.fine.skips)
+    )
+    fused = {}
+    if fusable:
+        for name in ("fine", "coarse"):
+            mlp = getattr(net, name)
+            fused[name] = extract_mlp_weights(
+                params["params"][name], 2 * L, mlp.depth,
+                tuple(mlp.skips), mlp.view_depth)
+
     def run_mlp(module, pts_feat, view_feat, model):
         mlp = module.fine if model == "fine" else module.coarse
         return mlp(pts_feat, view_feat)
@@ -104,6 +132,18 @@ def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512,
         if bounds is not None:
             x = normalize_to_unit(x, bounds)
         x = jnp.clip(x, 0.0, 1.0)
+        if fused:
+            sh = None
+            if viewdirs is not None:
+                # SH per RAY, broadcast features per point (16 lanes)
+                vf = dir_enc(viewdirs.reshape(-1, 3))
+                vshape = viewdirs.shape[:-1]
+                sh = jnp.broadcast_to(
+                    vf.reshape(vshape + (vf.shape[-1],)),
+                    shape + (vf.shape[-1],)).reshape(-1, vf.shape[-1])
+            ops, meta = fused[model if model == "fine" else "coarse"]
+            raw = fused_ngp_eval(layout, meta, packed, ops, x, sh)
+            return raw.reshape(*shape, 4)
         feat = brick_encode_eval(layout, packed, x,
                                  mxu_max_rows=mxu_max_rows, blk=blk)
         view_feat = None
