@@ -262,6 +262,30 @@ def run_ngp(watchdog):
             f"in {time.time() - t0:.1f}s")
     occupancy = (grid, bbox, 2)
 
+    # finer low-dilation SELECTION grid (candidate filtering only; the
+    # span probe stays on the 64^3 grid — see ngp_renderer docstring)
+    sel_res = int(os.environ.get("BENCH_SEL_RES", "128"))
+    select_occupancy = None
+    if sel_res > grid.shape[0]:
+        sel_cache = _cache_path(
+            "occsel", ckpt, ck_mtime, sel_res, occ_thresh, bricks)
+        cached = _cache_load(sel_cache)
+        if cached is not None:
+            select_occupancy = (jnp.asarray(cached["grid"]), tuple(
+                float(b) for b in cached["bbox"]))
+            log(f"selection grid: {float(select_occupancy[0].mean()):.3f}"
+                " occupied (cached)")
+        else:
+            t0 = time.time()
+            sgrid, sbbox = build_occupancy_grid(
+                density_fn, params, resolution=sel_res,
+                threshold=occ_thresh, dilate=1)
+            _cache_save(sel_cache, grid=np.asarray(sgrid),
+                        bbox=np.asarray(sbbox, np.float64))
+            select_occupancy = (sgrid, sbbox)
+            log(f"selection grid: {float(sgrid.mean()):.3f} occupied, "
+                f"built in {time.time() - t0:.1f}s")
+
     focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
     poses = orbit_poses(frames)
 
@@ -328,7 +352,7 @@ def run_ngp(watchdog):
 
     ladder_env = os.environ.get(
         "BENCH_NGP_LADDER",
-        "16,8,6;24,10,8;32,14,12;40,16,14;48,20,16;64,32,24")
+        "16,8,6;24,10,8;32,10,10;32,14,12;40,16,14;48,20,16;64,32,24")
     ladder = [tuple(int(v) for v in step.split(","))
               for step in ladder_env.split(";") if step]
     capacity = float(os.environ.get("BENCH_CAPACITY", "0.35"))
@@ -341,7 +365,7 @@ def run_ngp(watchdog):
                 apply_fn, H, W, focal=focal, occupancy=occupancy,
                 s=settings, n_candidates=C, n_coarse=M, n_fine=F,
                 capacity=cap, fine_capacity=fcap, out_dtype=jnp.uint8,
-                return_stats=True)
+                return_stats=True, select_occupancy=select_occupancy)
 
         fn = build(capacity, fine_cap)
         img, stats = fn(params, jnp.asarray(gate_poses[0]))

@@ -115,6 +115,7 @@ def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512,
         and all(0 <= s < net.fine.depth for s in net.fine.skips)
     )
     fused = {}
+    fused_bf16 = _os.environ.get("NGP_FUSED_BF16", "0") == "1"
     if fusable:
         for name in ("fine", "coarse"):
             mlp = getattr(net, name)
@@ -142,7 +143,8 @@ def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512,
                     vf.reshape(vshape + (vf.shape[-1],)),
                     shape + (vf.shape[-1],)).reshape(-1, vf.shape[-1])
             ops, meta = fused[model if model == "fine" else "coarse"]
-            raw = fused_ngp_eval(layout, meta, packed, ops, x, sh)
+            raw = fused_ngp_eval(layout, meta, packed, ops, x, sh,
+                                 blk=blk, mlp_bf16=fused_bf16)
             return raw.reshape(*shape, 4)
         feat = brick_encode_eval(layout, packed, x,
                                  mxu_max_rows=mxu_max_rows, blk=blk)
@@ -182,7 +184,8 @@ def make_ngp_frame_renderer(
     n_fine: int = 16, capacity: float = 0.35,
     fine_capacity: float | None = None, probe_sub: int = 4,
     out_dtype=jnp.uint8, return_stats: bool = False, mesh=None,
-    return_depth: bool = False, n_fine2: int = 0,
+    return_depth: bool = False, n_fine2: int = 0, stage: str = "full",
+    select_occupancy=None,
 ):
     """Build ``jit(fn)(params, c2w) -> rgb (H*W, 3)[, depth][, stats]``.
 
@@ -194,7 +197,16 @@ def make_ngp_frame_renderer(
     ``stats``). ``n_fine2`` > 0 adds an optional second importance
     round (see module doc). ``mesh``: a data Mesh shards each frame WITHIN the pose
     (ray tensors P('data'), params replicated) so one frame uses every
-    chip.
+    chip. ``stage`` ("probe"|"coarse"|"full") truncates the pipeline for
+    strip-profiling (scripts/probe_frame_parts.py): "probe" stops after
+    span probe + active compaction, "coarse" after the coarse composite.
+    ``select_occupancy``: optional second ``(grid, bbox[, dilate])`` used
+    only for candidate SELECTION inside the span (step 4) — a finer,
+    less-dilated grid here concentrates the ``n_coarse`` samples on the
+    true surface without paying the finer grid's cost in the span probe
+    (the probe lattice stride is bounded by the grid cell size, so a
+    128-cubed probe grid would force ``probe_sub=1``: 8x the probe
+    work). Defaults to the probe grid.
     """
     n = H * W
     chunk = min(s.ray_chunk, n)
@@ -208,6 +220,11 @@ def make_ngp_frame_renderer(
     grid = jnp.asarray(np.asarray(occupancy[0], np.uint8))
     bbox = tuple(float(b) for b in occupancy[1])
     dilate = int(occupancy[2]) if len(occupancy) > 2 else 2
+    if select_occupancy is not None:
+        sel_grid = jnp.asarray(np.asarray(select_occupancy[0], np.uint8))
+        sel_bbox = tuple(float(b) for b in select_occupancy[1])
+    else:
+        sel_grid, sel_bbox = grid, bbox
     if dilate < 2 and probe_sub > 1:
         raise ValueError(
             "ngp frame renderer: probe_sub > 1 needs a grid dilated >= 2 "
@@ -287,6 +304,11 @@ def make_ngp_frame_renderer(
         span1 = jnp.maximum(tx1 - te1, 1e-3)
         stats = {"active_rays": active.sum(),
                  "coarse_overflow": jnp.maximum(active.sum() - k1, 0)}
+        if stage == "probe":
+            rgb = jnp.zeros((n_full, 3)).at[sel1].set(
+                jnp.stack([te1, tx1, span1], -1),
+                unique_indices=True)[:n].astype(jnp.float32)
+            return (rgb, stats) if return_stats else rgb
 
         # --- coarse: occupied-selected span samples ---------------------
         def coarse_chunk(args):
@@ -294,7 +316,7 @@ def make_ngp_frame_renderer(
             uu = (jnp.arange(C, dtype=jnp.float32) + 0.5) / C
             t_cand = te[:, None] + span[:, None] * uu[None, :]   # (c, C)
             p_cand = ro[:, None] + rd[:, None] * t_cand[..., None]
-            occ_c = points_occupied(p_cand, grid, bbox)
+            occ_c = points_occupied(p_cand, sel_grid, sel_bbox)
             # keep n_coarse candidates with COVERAGE: sort occupied-first
             # (ascending depth within each class), then stride evenly
             # through the occupied pool — a plain top-M would cluster at
@@ -335,6 +357,13 @@ def make_ngp_frame_renderer(
         t_c1 = t_c1.reshape(k1, M)
         raw_c1 = raw_c1.reshape(k1, M, 4)
         stats["mean_occupied_candidates"] = n_occ.reshape(-1).mean()
+        if stage == "coarse":
+            bg0 = 1.0 if s.white_bkgd else 0.0
+            act1_ = jnp.take(active, sel1, unique_indices=True)
+            rgb = jnp.full((n_full, 3), bg0).at[sel1].set(
+                jnp.where(act1_[:, None], rgb1, bg0),
+                unique_indices=True)[:n].astype(jnp.float32)
+            return (rgb, stats) if return_stats else rgb
 
         # --- fine-pass compaction by coarse opacity ---------------------
         live1 = (sel1 < n) & jnp.take(active, sel1, unique_indices=True)

@@ -96,15 +96,14 @@ def extract_mlp_weights(mlp_params, n_feat: int, depth: int,
     return tuple(ops), (tuple(trunk), head_split)
 
 
-def _fused_kernel(layout, blk, meta, *refs):
-    (bidv_ref, pts_ref, sh_ref, tbf_ref, res_ref, s0_ref, s1_ref,
+def _fused_kernel(layout, blk, meta, mlp_bf16, *refs):
+    (bidv_ref, pts_ref, sh_ref, tbf_ref, res_ref,
      *wrefs) = refs[:-1]
     out_ref = refs[-1]
     L = len(layout.scales)
 
     # ---- encode: v2 lane-parallel geometry (see eval_encode.py) ------
     lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
-    group = lane >> 3
     dxv = (lane >> 2) & 1
     dyv = (lane >> 1) & 1
     dzv = lane & 1
@@ -122,6 +121,14 @@ def _fused_kernel(layout, blk, meta, *refs):
          * jnp.where(dyv == 1, fr[1], 1.0 - fr[1])
          * jnp.where(dzv == 1, fr[2], 1.0 - fr[2]))
     w = jnp.where(valid, w, 0.0)
+    # Corner extraction: per-level one-hot row fetch on the MXU, then
+    # two take_along_axis lane gathers. Two gather-free reformulations
+    # (compare-scattered trilinear weights + lane-reduce, and + one
+    # block-diagonal selector matmul) both measured SLOWER (145/140 vs
+    # 107 ns/pt): the gathers pipeline against the one-hot matmuls,
+    # while compare-built weight vectors compete with the one-hot build
+    # on the VPU. See RESULTS_r03.
+    group = lane >> 3
     acc0 = jnp.zeros((blk, 128), jnp.float32)
     acc1 = jnp.zeros((blk, 128), jnp.float32)
     for l in range(L):
@@ -137,50 +144,61 @@ def _fused_kernel(layout, blk, meta, *refs):
         sel = group == l
         acc0 = acc0 + jnp.where(sel, w * g0, 0.0)
         acc1 = acc1 + jnp.where(sel, w * g1, 0.0)
+    s0_ref, s1_ref = wrefs[-2], wrefs[-1]
+    wrefs = wrefs[:-2]
     x = (jnp.dot(acc0, s0_ref[...], preferred_element_type=jnp.float32)
          + jnp.dot(acc1, s1_ref[...], preferred_element_type=jnp.float32))
 
     # ---- MLP ladder (f32, split-matmul concats) ----------------------
     trunk, head_split = meta
     wi = iter(wrefs)
-    nxt = lambda: next(wi)[...]
+    if mlp_bf16:
+        # bf16 inputs / f32 accumulate: ~bf16-mantissa noise on raw
+        # outputs (same class as the table quantization); MXU-cheap
+        nxt = lambda: next(wi)[...].astype(jnp.bfloat16)
+        dot = lambda a, b: jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        nxt = lambda: next(wi)[...]
+        dot = lambda a, b: jnp.dot(a, b, precision=_HI)
     h = x
     for kind in trunk:
         if kind == "split":
             kx, kh, b = nxt(), nxt(), nxt()
-            h = jnp.dot(x, kx, precision=_HI) \
-                + jnp.dot(h, kh, precision=_HI) + b
+            h = dot(x, kx) \
+                + dot(h, kh) + b
         else:
             k, b = nxt(), nxt()
-            h = jnp.dot(h, k, precision=_HI) + b
+            h = dot(h, k) + b
         h = jnp.maximum(h, 0.0)
         # Flax concats AFTER the relu of layer i; the split matmul of
         # the consumer (next layer or heads) takes (x, h) separately.
     if head_split:
         kax, kah, ba = nxt(), nxt(), nxt()
-        sigma = jnp.dot(x, kax, precision=_HI) \
-            + jnp.dot(h, kah, precision=_HI) + ba         # (blk, 1)
+        sigma = dot(x, kax) \
+            + dot(h, kah) + ba         # (blk, 1)
         kfx, kfh, bf = nxt(), nxt(), nxt()
-        feat = jnp.dot(x, kfx, precision=_HI) \
-            + jnp.dot(h, kfh, precision=_HI) + bf         # (blk, W)
+        feat = dot(x, kfx) \
+            + dot(h, kfh) + bf         # (blk, W)
     else:
         ka, ba = nxt(), nxt()
-        sigma = jnp.dot(h, ka, precision=_HI) + ba        # (blk, 1)
+        sigma = dot(h, ka) + ba        # (blk, 1)
         kf, bf = nxt(), nxt()
-        feat = jnp.dot(h, kf, precision=_HI) + bf         # (blk, W)
+        feat = dot(h, kf) + bf         # (blk, W)
     kvf, kvs, bv = nxt(), nxt(), nxt()
     hv = jnp.maximum(
-        jnp.dot(feat, kvf, precision=_HI)
-        + jnp.dot(sh_ref[...], kvs, precision=_HI) + bv, 0.0)
+        dot(feat, kvf)
+        + dot(sh_ref[...], kvs) + bv, 0.0)
     kr, br = nxt(), nxt()
-    rgb = jnp.dot(hv, kr, precision=_HI) + br             # (blk, 3)
+    rgb = dot(hv, kr) + br             # (blk, 3)
     out_ref[:, 0:3] = rgb
     out_ref[:, 3:4] = sigma
 
 
-@partial(jax.jit, static_argnums=(0, 1, 6))
+@partial(jax.jit, static_argnums=(0, 1, 6, 7))
 def fused_ngp_eval(layout: BrickLayout, meta, packed_table, weight_ops,
-                   x, sh=None, blk: int = 1024):
+                   x, sh=None, blk: int = 1024, mlp_bf16: bool = False):
     """x (N, 3) in [0,1], sh (N, n_sh) per-point dir features ->
     raw (N, 4) f32 ``[rgb_logits, sigma_raw]``.
 
@@ -206,12 +224,15 @@ def fused_ngp_eval(layout: BrickLayout, meta, packed_table, weight_ops,
     f0, f1 = _unpack_f0_f1(packed_table)
     tbf = jnp.concatenate([f0, f1], axis=1).astype(jnp.bfloat16)
     res_lane = np.zeros((1, 128), np.float32)
+    # lane-group selectors: (level, corner) lane 8l+c sums into
+    # feature 2l (f0) / 2l+1 (f1)
     s0 = np.zeros((128, 2 * L), np.float32)
     s1 = np.zeros((128, 2 * L), np.float32)
     for l in range(L):
         res_lane[0, 8 * l:8 * l + 8] = layout.scales[l]
         s0[8 * l:8 * l + 8, 2 * l] = 1.0
         s1[8 * l:8 * l + 8, 2 * l + 1] = 1.0
+    s0, s1 = jnp.asarray(s0), jnp.asarray(s1)
 
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
         0 for _ in shape))
@@ -221,17 +242,15 @@ def fused_ngp_eval(layout: BrickLayout, meta, packed_table, weight_ops,
         pl.BlockSpec((blk, n_sh), lambda i: (i, 0)),
         full((layout.n_rows, ROW)),
         full((1, 128)),
-        full((128, 2 * L)),
-        full((128, 2 * L)),
-    ] + [full(op.shape) for op in weight_ops]
+    ] + [full(op.shape) for op in weight_ops] + [full(s0.shape),
+                                                 full(s1.shape)]
     out = pl.pallas_call(
-        partial(_fused_kernel, layout, blk, meta),
+        partial(_fused_kernel, layout, blk, meta, mlp_bf16),
         grid=(npad // blk,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((blk, 4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((npad, 4), jnp.float32),
         compiler_params=_CP,
         interpret=_interpret(),
-    )(ids, pts, shp, tbf, jnp.asarray(res_lane), jnp.asarray(s0),
-      jnp.asarray(s1), *weight_ops)
+    )(ids, pts, shp, tbf, jnp.asarray(res_lane), *weight_ops, s0, s1)
     return out[:n]
