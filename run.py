@@ -167,6 +167,15 @@ def run_evaluate():
             threshold=float(cfg.task_arg.get("occ_threshold", 0.02)),
             dilate=2)
         print(f"occupancy grid: {float(grid.mean()):.3f} occupied")
+        # finer low-dilation grid for candidate selection (see
+        # ngp_renderer.make_ngp_frame_renderer docstring)
+        select_occupancy = None
+        sel_res = int(cfg.task_arg.get("occ_sel_resolution", 128))
+        if sel_res > grid.shape[0]:
+            select_occupancy = build_occupancy_grid(
+                density_fn, params, resolution=sel_res,
+                threshold=float(cfg.task_arg.get("occ_threshold", 0.02)),
+                dilate=1)
         from nerf_replication_tpu.models.nerf.renderer.volume_renderer \
             import RenderSettings
 
@@ -179,7 +188,8 @@ def run_evaluate():
                 n_coarse=int(cfg.task_arg.get("fast_coarse", 16)),
                 n_fine=int(cfg.task_arg.get("fast_fine", 16)),
                 capacity=float(cfg.task_arg.get("fast_capacity", 0.4)),
-                out_dtype=jnp.float32, return_depth=True)
+                out_dtype=jnp.float32, return_depth=True,
+                select_occupancy=select_occupancy)
 
         _frame_cache = {}
 

@@ -87,6 +87,23 @@ def main():
                                           dilate=2)
     occupancy = (grid, bbox, 2)
 
+    select_occupancy = None
+    if os.environ.get("PROBE_SEL", "0") == "1":
+        sel_cache = bench._cache_path(
+            "occsel", ckpt, bench._ckpt_mtime(ckpt), 128, 0.02, bricks)
+        cached = bench._cache_load(sel_cache)
+        if cached is None:
+            print("no cached 128^3 selection grid; run bench.py first")
+            sys.exit(1)
+        select_occupancy = (jnp.asarray(cached["grid"]), tuple(
+            float(b) for b in cached["bbox"]))
+
+    settings = dataclasses.replace(
+        settings,
+        ray_chunk=int(os.environ.get("PROBE_CHUNK", settings.ray_chunk)))
+    print(f"C,M,F={C},{M},{F} chunk={settings.ray_chunk} "
+          f"sel={select_occupancy is not None} cap={cap}/{fcap}")
+
     focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
     pose = jnp.asarray(bench.orbit_poses(4)[0])
 
@@ -100,13 +117,18 @@ def main():
         "full-null": dict(stage="full", apply=null_apply),
         "coarse-null": dict(stage="coarse", apply=null_apply),
     }
+    only = os.environ.get("PROBE_VARIANTS", "")
+    if only:
+        variants = {k: v for k, v in variants.items()
+                    if k in only.split(",")}
     results = {}
     for name, v in variants.items():
         fn = make_ngp_frame_renderer(
             v.get("apply", apply_fn), H, W, focal=focal,
             occupancy=occupancy, s=settings, n_candidates=C, n_coarse=M,
             n_fine=F, capacity=cap, fine_capacity=fcap,
-            out_dtype=jnp.float32, stage=v["stage"])
+            out_dtype=jnp.float32, stage=v["stage"],
+            select_occupancy=select_occupancy)
         # device-fenced: reduce on device, fetch 4 bytes (a full-frame
         # f32 fetch through the tunnel costs ~300+ ms and would swamp
         # every variant)
@@ -123,16 +145,18 @@ def main():
               f"{[round(t * 1e3) for t in times]})", flush=True)
 
     d = results
-    print(json.dumps({
-        "probe+compact": d["probe"],
-        "coarse_machinery": round(d["coarse-null"] - d["probe"], 4),
-        "coarse_field_eval": round(d["coarse"] - d["coarse-null"], 4),
-        "fine_machinery": round(d["full-null"] - d["coarse-null"], 4),
-        "fine_field_eval": round(
-            (d["full"] - d["full-null"]) - (d["coarse"] - d["coarse-null"]),
-            4),
-        "full": d["full"],
-    }, indent=2))
+    if all(k in d for k in ("probe", "coarse", "full", "full-null",
+                            "coarse-null")):
+        print(json.dumps({
+            "probe+compact": d["probe"],
+            "coarse_machinery": round(d["coarse-null"] - d["probe"], 4),
+            "coarse_field_eval": round(d["coarse"] - d["coarse-null"], 4),
+            "fine_machinery": round(d["full-null"] - d["coarse-null"], 4),
+            "fine_field_eval": round(
+                (d["full"] - d["full-null"])
+                - (d["coarse"] - d["coarse-null"]), 4),
+            "full": d["full"],
+        }, indent=2))
     out_p = os.path.join(ROOT, "result", "probe_frame_parts.json")
     with open(out_p, "w") as f:
         json.dump(results, f, indent=2)

@@ -103,3 +103,65 @@ def test_train_test_mode(workdir):
     r = _run(["train.py", "--test", "--cfg_file", "probe.yaml"], workdir)
     assert r.returncode == 0, r.stderr[-800:]
     assert "val:" in r.stdout
+
+
+@pytest.fixture(scope="module")
+def ngp_workdir(tmp_path_factory):
+    """Brick-NGP variant of the CLI scene for the fast_render path."""
+    wd = tmp_path_factory.mktemp("cli_ngp")
+    generate_scene(str(wd / "data" / "nerf_synthetic"), scene="probe",
+                   H=32, W=32, n_train=3, n_val=1, n_test=1)
+    cfg = wd / "probe_ngp.yaml"
+    cfg.write_text(f"""
+parent_cfg: {ROOT}/configs/nerf/lego.yaml
+scene: "probe"
+exp_name: "cli_ngp"
+task_arg:
+  N_rays: 64
+  N_samples: 8
+  N_importance: 8
+  ray_chunk: 512
+  precrop_iters: 0
+  density_activation: softplus
+  finite_tail: True
+  fast_render: 1
+  occ_resolution: 16
+  occ_sel_resolution: 32
+  fast_candidates: 8
+  fast_coarse: 4
+  fast_fine: 4
+  fast_capacity: 0.9
+network:
+  dtype: "float32"
+  nerf: {{W: 16, D: 2, V_D: 1, skips: [1]}}
+  xyz_encoder: {{type: cuda_hashgrid, backend: brick, input_dim: 3,
+                num_levels: 3, level_dim: 2, base_resolution: 4,
+                desired_resolution: 16, log2_hashmap_size: 10,
+                log2_bricks: 4, bounds: [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]}}
+  dir_encoder: {{type: sphere_harmonics, degree: 2}}
+train_dataset: {{data_root: data/nerf_synthetic, split: train, input_ratio: 1., H: 32, W: 32}}
+test_dataset: {{data_root: data/nerf_synthetic, split: test, input_ratio: 1., H: 32, W: 32}}
+train:
+  epoch: 1
+ep_iter: 3
+save_ep: 1
+eval_ep: 10
+save_latest_ep: 1
+log_interval: 100
+""")
+    return wd
+
+
+def test_evaluate_fast_render(ngp_workdir):
+    """run.py --type evaluate with task_arg.fast_render=1 drives the
+    occupancy-raymarch frame renderer (incl. the finer selection grid)
+    from the CLI — the product surface for the bench's fast path."""
+    r = _run(["train.py", "--cfg_file", "probe_ngp.yaml"], ngp_workdir,
+             timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    r = _run(["run.py", "--type", "evaluate", "--cfg_file",
+              "probe_ngp.yaml"], ngp_workdir, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "occupancy grid" in r.stdout
+    assert "fast frame renderer" in r.stdout or "fps:" in r.stdout
+    assert "'psnr'" in r.stdout
