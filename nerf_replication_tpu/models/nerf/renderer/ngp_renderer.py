@@ -116,6 +116,7 @@ def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512,
     )
     fused = {}
     fused_bf16 = _os.environ.get("NGP_FUSED_BF16", "0") == "1"
+    fused_cgather = _os.environ.get("NGP_FUSED_CGATHER", "1") == "1"
     if fusable:
         for name in ("fine", "coarse"):
             mlp = getattr(net, name)
@@ -144,7 +145,8 @@ def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512,
                     shape + (vf.shape[-1],)).reshape(-1, vf.shape[-1])
             ops, meta = fused[model if model == "fine" else "coarse"]
             raw = fused_ngp_eval(layout, meta, packed, ops, x, sh,
-                                 blk=blk, mlp_bf16=fused_bf16)
+                                 blk=blk, mlp_bf16=fused_bf16,
+                                 combined_gather=fused_cgather)
             return raw.reshape(*shape, 4)
         feat = brick_encode_eval(layout, packed, x,
                                  mxu_max_rows=mxu_max_rows, blk=blk)

@@ -96,7 +96,7 @@ def extract_mlp_weights(mlp_params, n_feat: int, depth: int,
     return tuple(ops), (tuple(trunk), head_split)
 
 
-def _fused_kernel(layout, blk, meta, mlp_bf16, *refs):
+def _fused_kernel(layout, blk, meta, mlp_bf16, combined_gather, *refs):
     (bidv_ref, pts_ref, sh_ref, tbf_ref, res_ref,
      *wrefs) = refs[:-1]
     out_ref = refs[-1]
@@ -131,6 +131,7 @@ def _fused_kernel(layout, blk, meta, mlp_bf16, *refs):
     group = lane >> 3
     acc0 = jnp.zeros((blk, 128), jnp.float32)
     acc1 = jnp.zeros((blk, 128), jnp.float32)
+    li2 = jnp.concatenate([li, li + 128], axis=1)     # (blk, 256)
     for l in range(L):
         o = layout.offsets[l]
         nl = layout.offsets[l + 1] - o
@@ -139,8 +140,17 @@ def _fused_kernel(layout, blk, meta, mlp_bf16, *refs):
         rows = jax.lax.dot_general(
             oh, tbf_ref[o:o + nl, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        g0 = jnp.take_along_axis(rows[:, :128], li, axis=1)
-        g1 = jnp.take_along_axis(rows[:, 128:], li, axis=1)
+        if combined_gather:
+            # ONE 256-lane dynamic gather per level instead of two
+            # 128-lane ones: Mosaic's take_along_axis cost is call-
+            # overhead dominated (~2 us per (1024,128) call; see the
+            # RESULTS_r03 micro-probes), so halving the call count
+            # beats halving the lanes.
+            g = jnp.take_along_axis(rows, li2, axis=1)
+            g0, g1 = g[:, :128], g[:, 128:]
+        else:
+            g0 = jnp.take_along_axis(rows[:, :128], li, axis=1)
+            g1 = jnp.take_along_axis(rows[:, 128:], li, axis=1)
         sel = group == l
         acc0 = acc0 + jnp.where(sel, w * g0, 0.0)
         acc1 = acc1 + jnp.where(sel, w * g1, 0.0)
@@ -196,9 +206,10 @@ def _fused_kernel(layout, blk, meta, mlp_bf16, *refs):
     out_ref[:, 3:4] = sigma
 
 
-@partial(jax.jit, static_argnums=(0, 1, 6, 7))
+@partial(jax.jit, static_argnums=(0, 1, 6, 7, 8))
 def fused_ngp_eval(layout: BrickLayout, meta, packed_table, weight_ops,
-                   x, sh=None, blk: int = 1024, mlp_bf16: bool = False):
+                   x, sh=None, blk: int = 1024, mlp_bf16: bool = False,
+                   combined_gather: bool = True):
     """x (N, 3) in [0,1], sh (N, n_sh) per-point dir features ->
     raw (N, 4) f32 ``[rgb_logits, sigma_raw]``.
 
@@ -245,7 +256,8 @@ def fused_ngp_eval(layout: BrickLayout, meta, packed_table, weight_ops,
     ] + [full(op.shape) for op in weight_ops] + [full(s0.shape),
                                                  full(s1.shape)]
     out = pl.pallas_call(
-        partial(_fused_kernel, layout, blk, meta, mlp_bf16),
+        partial(_fused_kernel, layout, blk, meta, mlp_bf16,
+                combined_gather),
         grid=(npad // blk,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((blk, 4), lambda i: (i, 0)),

@@ -31,13 +31,23 @@ def main():
     p.add_argument("--views", type=int, default=40,
                    help="train views per generated scene")
     p.add_argument("--out", default="result/scene_sweep.json")
+    p.add_argument("--base_cfg", default=None,
+                   help="single base config for every scene (e.g. "
+                        "configs/nerf/sweep_ngp.yaml); the scene and "
+                        "exp_name are passed per scene as opts instead "
+                        "of one yaml per scene")
     p.add_argument("--opts", nargs="*", default=[])
     args = p.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     results = {}
     for scene in args.scenes:
-        cfg = os.path.join(root, f"configs/nerf/{scene}.yaml")
+        if args.base_cfg:
+            cfg = os.path.join(root, args.base_cfg)
+            scene_opts = ["scene", scene, "exp_name", f"{scene}_sweep"]
+        else:
+            cfg = os.path.join(root, f"configs/nerf/{scene}.yaml")
+            scene_opts = []
         if not os.path.exists(cfg):
             print(f"skip {scene}: no config")
             continue
@@ -61,10 +71,11 @@ def main():
         if args.train:
             subprocess.run(
                 [sys.executable, os.path.join(root, "train.py"),
-                 "--cfg_file", cfg, *args.opts], cwd=root, check=True)
+                 "--cfg_file", cfg, *scene_opts, *args.opts],
+                cwd=root, check=True)
         res = subprocess.run(
             [sys.executable, os.path.join(root, "run.py"), "--type",
-             "evaluate", "--cfg_file", cfg, *args.opts],
+             "evaluate", "--cfg_file", cfg, *scene_opts, *args.opts],
             cwd=root, capture_output=True, text=True)
         metrics = {}
         for line in res.stdout.splitlines():

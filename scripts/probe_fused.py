@@ -75,24 +75,32 @@ def main():
     xs, shs = jnp.asarray(pts), jnp.asarray(sh)
     print(f"{N} points, bricks={bricks}, rows={layout.n_rows}")
 
-    for blk in (512, 1024, 2048, 4096):
+    blks = (512, 1024, 2048, 4096)
+    if os.environ.get("PROBE_BLKS"):
+        blks = tuple(int(b) for b in os.environ["PROBE_BLKS"].split(","))
+    for blk in blks:
         for bf16 in (False, True):
-            fn = jax.jit(lambda x, s, blk=blk, bf16=bf16: jnp.sum(
-                fused_ngp_eval(layout, meta, packed, ops, x, s,
-                               blk=blk, mlp_bf16=bf16)))
-            try:
-                float(fn(xs, shs))
-            except Exception as e:  # noqa: BLE001 — report and continue
-                print(f"blk={blk} bf16={int(bf16)}: FAILED {e}")
-                continue
-            times = []
-            for _ in range(5):
-                t0 = time.time()
-                float(fn(xs, shs))
-                times.append(time.time() - t0)
-            dt = float(np.median(times))
-            print(f"blk={blk} bf16={int(bf16)}: {N / dt / 1e6:6.2f} "
-                  f"Mpts/s  {dt / N * 1e9:6.1f} ns/pt", flush=True)
+            for cg in (False, True):
+                fn = jax.jit(
+                    lambda x, s, blk=blk, bf16=bf16, cg=cg: jnp.sum(
+                        fused_ngp_eval(layout, meta, packed, ops, x, s,
+                                       blk=blk, mlp_bf16=bf16,
+                                       combined_gather=cg)))
+                try:
+                    float(fn(xs, shs))
+                except Exception as e:  # noqa: BLE001 — report, continue
+                    print(f"blk={blk} bf16={int(bf16)} cg={int(cg)}: "
+                          f"FAILED {e}")
+                    continue
+                times = []
+                for _ in range(5):
+                    t0 = time.time()
+                    float(fn(xs, shs))
+                    times.append(time.time() - t0)
+                dt = float(np.median(times))
+                print(f"blk={blk} bf16={int(bf16)} cg={int(cg)}: "
+                      f"{N / dt / 1e6:6.2f} Mpts/s  "
+                      f"{dt / N * 1e9:6.1f} ns/pt", flush=True)
 
 
 if __name__ == "__main__":

@@ -71,3 +71,20 @@ def test_fused_env_off_falls_back(monkeypatch):
     unfused = make_ngp_eval_apply(net, params)(params, pts, dirs, "fine")
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_combined_gather_bitwise(monkeypatch):
+    """The 256-lane combined corner gather (one take_along_axis per
+    level over [f0 | f1]) must be BITWISE identical to the split
+    two-gather formulation — same rows, same indices, same math."""
+    monkeypatch.setenv("NGP_FUSED", "1")
+    net = make_network(_cfg(3, [1]))
+    params = init_params(net, jax.random.key(0))
+    pts = jax.random.uniform(jax.random.key(5), (6, 11, 3), jnp.float32,
+                             -1.0, 1.0)
+    dirs = jax.random.normal(jax.random.key(6), (6, 1, 3))
+    monkeypatch.setenv("NGP_FUSED_CGATHER", "1")
+    a = make_ngp_eval_apply(net, params)(params, pts, dirs, "fine")
+    monkeypatch.setenv("NGP_FUSED_CGATHER", "0")
+    b = make_ngp_eval_apply(net, params)(params, pts, dirs, "fine")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
