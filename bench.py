@@ -357,36 +357,43 @@ def run_ngp(watchdog):
               for step in ladder_env.split(";") if step]
     capacity = float(os.environ.get("BENCH_CAPACITY", "0.35"))
     fine_cap = None
+    occ_cap = capacity
     frame_fn = None
     chosen = None
     for C, M, F in ladder:
-        def build(cap, fcap, C=C, M=M, F=F):
+        def build(cap, fcap, ocap, C=C, M=M, F=F):
             return make_ngp_frame_renderer(
                 apply_fn, H, W, focal=focal, occupancy=occupancy,
                 s=settings, n_candidates=C, n_coarse=M, n_fine=F,
                 capacity=cap, fine_capacity=fcap, out_dtype=jnp.uint8,
-                return_stats=True, select_occupancy=select_occupancy)
+                return_stats=True, select_occupancy=select_occupancy,
+                occ_capacity=ocap)
 
-        fn = build(capacity, fine_cap)
+        fn = build(capacity, fine_cap, occ_cap)
         img, stats = fn(params, jnp.asarray(gate_poses[0]))
         img = np.asarray(img)
         stats = {k: float(v) for k, v in stats.items()}
         if os.environ.get("BENCH_AUTOCAP", "1") == "1":
-            # right-size both static ray budgets to the measured frame:
-            # active rays bound the coarse pass, rays with non-trivial
-            # coarse opacity bound the fine pass
+            # right-size the static ray budgets to the measured frame:
+            # active rays bound the coarse selection, rays with >=1
+            # occupied candidate bound the coarse FIELD EVAL, rays with
+            # non-trivial coarse opacity bound the fine pass
             active_frac = stats["active_rays"] / (H * W)
             new_cap = min(1.0, active_frac * 1.1 + 0.02)
-            new_fine = min(new_cap,
+            new_occ = min(new_cap,
+                          stats["occ_rays"] / (H * W) * 1.15 + 0.01)
+            new_fine = min(new_occ,
                            stats["nontrivial_rays"] / (H * W) * 1.15
                            + 0.01)
             if (abs(new_cap - capacity) > 0.015
                     or fine_cap is None
+                    or abs(new_occ - occ_cap) > 0.015
                     or abs(new_fine - fine_cap) > 0.015):
                 log(f"autocap: active {active_frac:.3f} -> cap "
-                    f"{new_cap:.2f}, fine {new_fine:.2f}")
-                capacity, fine_cap = new_cap, new_fine
-                fn = build(capacity, fine_cap)
+                    f"{new_cap:.2f}, occ {new_occ:.2f}, "
+                    f"fine {new_fine:.2f}")
+                capacity, occ_cap, fine_cap = new_cap, new_occ, new_fine
+                fn = build(capacity, fine_cap, occ_cap)
                 img, stats = fn(params, jnp.asarray(gate_poses[0]))
                 img = np.asarray(img)
                 stats = {k: float(v) for k, v in stats.items()}

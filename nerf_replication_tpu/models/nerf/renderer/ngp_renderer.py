@@ -187,7 +187,7 @@ def make_ngp_frame_renderer(
     fine_capacity: float | None = None, probe_sub: int = 4,
     out_dtype=jnp.uint8, return_stats: bool = False, mesh=None,
     return_depth: bool = False, n_fine2: int = 0, stage: str = "full",
-    select_occupancy=None,
+    select_occupancy=None, occ_capacity: float | None = None,
 ):
     """Build ``jit(fn)(params, c2w) -> rgb (H*W, 3)[, depth][, stats]``.
 
@@ -196,7 +196,12 @@ def make_ngp_frame_renderer(
     probe step + 1 for the ``probe_sub``-pixel ray divergence).
     ``capacity``/``fine_capacity`` are fractions of H*W bounding the
     active / fine-pass ray counts (static shapes; overflow reported in
-    ``stats``). ``n_fine2`` > 0 adds an optional second importance
+    ``stats``). ``occ_capacity`` (fraction of H*W) bounds the MID-COARSE
+    compaction: candidate selection runs on all ``capacity`` rays, but
+    only rays with >=1 occupied selection-grid candidate reach the
+    coarse field eval (the rest are grid-proven background). Size it
+    from the measured ``occ_rays`` stat (~1.15x); ``None`` disables the
+    mid compaction (every probed-active ray is evaluated). ``n_fine2`` > 0 adds an optional second importance
     round (see module doc). ``mesh``: a data Mesh shards each frame WITHIN the pose
     (ray tensors P('data'), params replicated) so one frame uses every
     chip. ``stage`` ("probe"|"coarse"|"full") truncates the pipeline for
@@ -215,9 +220,12 @@ def make_ngp_frame_renderer(
     n_pad = (-n) % chunk
     n_full = n + n_pad
     k1 = min(n_full, -(-int(n_full * capacity) // chunk) * chunk)
+    k1m = k1
+    if occ_capacity is not None:
+        k1m = min(k1, -(-int(n_full * occ_capacity) // chunk) * chunk)
     k2 = int(n_full * (fine_capacity if fine_capacity is not None
                        else capacity * 0.85))
-    k2 = min(k1, -(-k2 // chunk) * chunk)
+    k2 = min(k1m, -(-k2 // chunk) * chunk)
 
     grid = jnp.asarray(np.asarray(occupancy[0], np.uint8))
     bbox = tuple(float(b) for b in occupancy[1])
@@ -312,8 +320,8 @@ def make_ngp_frame_renderer(
                 unique_indices=True)[:n].astype(jnp.float32)
             return (rgb, stats) if return_stats else rgb
 
-        # --- coarse: occupied-selected span samples ---------------------
-        def coarse_chunk(args):
+        # --- coarse sample SELECTION (no field eval) --------------------
+        def select_chunk(args):
             ro, rd, te, span = args
             uu = (jnp.arange(C, dtype=jnp.float32) + 0.5) / C
             t_cand = te[:, None] + span[:, None] * uu[None, :]   # (c, C)
@@ -334,6 +342,42 @@ def make_ngp_frame_renderer(
                       ).astype(t_sorted.dtype)
             t_sel = jnp.einsum("cmk,ck->cm", onehot, t_sorted)
             t_c = jax.lax.sort(t_sel, dimension=-1)               # (c, M)
+            return t_c, occ_c.sum(-1).astype(jnp.int32)
+
+        t_c1, n_occ = jax.lax.map(
+            select_chunk,
+            (cst(ro1.reshape(-1, chunk, 3), None, "data"),
+             cst(rd1.reshape(-1, chunk, 3), None, "data"),
+             cst(te1.reshape(-1, chunk), None, "data"),
+             cst(span1.reshape(-1, chunk), None, "data")))
+        t_c1 = t_c1.reshape(k1, M)
+        n_occ = n_occ.reshape(k1)
+        stats["mean_occupied_candidates"] = n_occ.mean()
+
+        # --- mid-coarse compaction: only rays with >=1 occupied
+        # candidate reach the field eval. The span probe's dilated grid
+        # marks ~1.6x more rays active than have any (finer, less
+        # dilated) selection-grid candidate; those extra rays are
+        # grid-proven background and composite as bg with NO MLP work.
+        live1 = (sel1 < n) & jnp.take(active, sel1, unique_indices=True)
+        if occ_capacity is not None:
+            occ_any = live1 & (n_occ > 0)
+            stats["occ_rays"] = occ_any.sum()
+            stats["occ_overflow"] = jnp.maximum(occ_any.sum() - k1m, 0)
+            sel1b = jnp.argsort(~occ_any)[:k1m]     # stable: occ first
+            takeb = lambda x: jnp.take(x, sel1b, axis=0,
+                                       unique_indices=True)
+            ro1b, rd1b = takeb(ro1), takeb(rd1)
+            sp1b, t_c1b = takeb(span1), takeb(t_c1)
+            live1b = takeb(occ_any)
+        else:
+            sel1b = jnp.arange(k1)
+            ro1b, rd1b, sp1b, t_c1b = ro1, rd1, span1, t_c1
+            live1b = live1 & (n_occ > 0)
+
+        # --- coarse field eval + composite on the compacted set ---------
+        def coarse_chunk(args):
+            ro, rd, span, t_c = args
             pts = ro[:, None] + rd[:, None] * t_c[..., None]
             vd = rd[:, None]
             raw = apply_fn(params, pts, vd, "fine")
@@ -344,40 +388,36 @@ def make_ngp_frame_renderer(
             depth_map = (w * t_c).sum(-1)
             if s.white_bkgd:
                 rgb_map = rgb_map + (1.0 - acc[..., None])
-            return (rgb_map, depth_map, acc, t_c, raw,
-                    occ_c.sum(-1).astype(jnp.int32))
+            return rgb_map, depth_map, acc, raw
 
-        rgb1, depth1, acc1, t_c1, raw_c1, n_occ = jax.lax.map(
+        rgb1, depth1, acc1, raw_c1 = jax.lax.map(
             coarse_chunk,
-            (cst(ro1.reshape(-1, chunk, 3), None, "data"),
-             cst(rd1.reshape(-1, chunk, 3), None, "data"),
-             cst(te1.reshape(-1, chunk), None, "data"),
-             cst(span1.reshape(-1, chunk), None, "data")))
-        rgb1 = rgb1.reshape(k1, 3)
-        depth1 = depth1.reshape(k1)
-        acc1 = acc1.reshape(k1)
-        t_c1 = t_c1.reshape(k1, M)
-        raw_c1 = raw_c1.reshape(k1, M, 4)
-        stats["mean_occupied_candidates"] = n_occ.reshape(-1).mean()
+            (cst(ro1b.reshape(-1, chunk, 3), None, "data"),
+             cst(rd1b.reshape(-1, chunk, 3), None, "data"),
+             cst(sp1b.reshape(-1, chunk), None, "data"),
+             cst(t_c1b.reshape(-1, chunk, M), None, "data")))
+        rgb1 = rgb1.reshape(k1m, 3)
+        depth1 = depth1.reshape(k1m)
+        acc1 = acc1.reshape(k1m)
+        raw_c1 = raw_c1.reshape(k1m, M, 4)
         if stage == "coarse":
             bg0 = 1.0 if s.white_bkgd else 0.0
-            act1_ = jnp.take(active, sel1, unique_indices=True)
-            rgb = jnp.full((n_full, 3), bg0).at[sel1].set(
-                jnp.where(act1_[:, None], rgb1, bg0),
+            g1b = jnp.take(sel1, sel1b, unique_indices=True)
+            rgb = jnp.full((n_full, 3), bg0).at[g1b].set(
+                jnp.where(live1b[:, None], rgb1, bg0),
                 unique_indices=True)[:n].astype(jnp.float32)
             return (rgb, stats) if return_stats else rgb
 
         # --- fine-pass compaction by coarse opacity ---------------------
-        live1 = (sel1 < n) & jnp.take(active, sel1, unique_indices=True)
-        acc_key = jnp.where(live1, acc1, -1.0)
+        acc_key = jnp.where(live1b, acc1, -1.0)
         order2 = jnp.argsort(-acc_key)
         sel2 = order2[:k2]
         stats["nontrivial_rays"] = (acc_key > 1e-3).sum()
         stats["fine_overflow"] = jnp.maximum((acc_key > 1e-3).sum() - k2, 0)
         take2 = lambda x: jnp.take(x, sel2, axis=0, unique_indices=True)
-        ro2, rd2 = take2(ro1), take2(rd1)
-        te2, sp2 = take2(te1), take2(span1)
-        t_c2, raw_c2 = take2(t_c1), take2(raw_c1)
+        ro2, rd2 = take2(ro1b), take2(rd1b)
+        sp2 = take2(sp1b)
+        t_c2, raw_c2 = take2(t_c1b), take2(raw_c1)
 
         # --- fine: CDF rounds, merge with saved coarse raws -------------
         def fine_chunk(args):
@@ -427,12 +467,12 @@ def make_ngp_frame_renderer(
         # grid-proven-empty rays composite as pure background even when
         # capacity slack pulled them into the coarse set
         bg = 1.0 if s.white_bkgd else 0.0
-        act1 = jnp.take(active, sel1, unique_indices=True)
-        rgb1 = jnp.where(act1[:, None], rgb1, bg)
-        rgb = jnp.full((n_full, 3), bg).at[sel1].set(
+        g1b = jnp.take(sel1, sel1b, unique_indices=True)
+        rgb1 = jnp.where(live1b[:, None], rgb1, bg)
+        rgb = jnp.full((n_full, 3), bg).at[g1b].set(
             rgb1, unique_indices=True)
-        sel_full = jnp.take(sel1, sel2, unique_indices=True)
-        act2 = jnp.take(act1, sel2, unique_indices=True)
+        sel_full = jnp.take(g1b, sel2, unique_indices=True)
+        act2 = jnp.take(live1b, sel2, unique_indices=True)
         fine_rgb = jnp.where(act2[:, None], fine_rgb, bg)
         rgb = rgb.at[sel_full].set(fine_rgb, unique_indices=True)[:n]
         if out_dtype == jnp.uint8:
@@ -442,8 +482,8 @@ def make_ngp_frame_renderer(
             rgb = rgb.astype(out_dtype)
         out = (rgb,)
         if return_depth:
-            depth = jnp.zeros((n_full,)).at[sel1].set(
-                jnp.where(act1, depth1, 0.0), unique_indices=True)
+            depth = jnp.zeros((n_full,)).at[g1b].set(
+                jnp.where(live1b, depth1, 0.0), unique_indices=True)
             depth = depth.at[sel_full].set(
                 jnp.where(act2, fine_depth, 0.0),
                 unique_indices=True)[:n]

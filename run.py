@@ -196,7 +196,9 @@ def run_evaluate():
                 n_fine=int(cfg.task_arg.get("fast_fine", 16)),
                 capacity=float(cfg.task_arg.get("fast_capacity", 0.4)),
                 out_dtype=jnp.float32, return_depth=True,
-                select_occupancy=select_occupancy)
+                select_occupancy=select_occupancy,
+                occ_capacity=float(cfg.task_arg.get(
+                    "fast_occ_capacity", 0.0)) or None)
 
         _frame_cache = {}
 

@@ -55,6 +55,7 @@ def main():
         "PROBE_CMF", "32,14,12").split(","))
     cap = float(os.environ.get("PROBE_CAP", "0.38"))
     fcap = float(os.environ.get("PROBE_FCAP", "0.23"))
+    ocap = float(os.environ.get("PROBE_OCAP", "0")) or None
 
     cfg = load_cfg_tree(os.path.join(ROOT, "configs/nerf/hard_ngp.yaml"),
                         default_cfg())
@@ -128,7 +129,7 @@ def main():
             occupancy=occupancy, s=settings, n_candidates=C, n_coarse=M,
             n_fine=F, capacity=cap, fine_capacity=fcap,
             out_dtype=jnp.float32, stage=v["stage"],
-            select_occupancy=select_occupancy)
+            select_occupancy=select_occupancy, occ_capacity=ocap)
         # device-fenced: reduce on device, fetch 4 bytes (a full-frame
         # f32 fetch through the tunnel costs ~300+ ms and would swamp
         # every variant)

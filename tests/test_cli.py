@@ -131,6 +131,7 @@ task_arg:
   fast_coarse: 4
   fast_fine: 4
   fast_capacity: 0.9
+  fast_occ_capacity: 0.9
 network:
   dtype: "float32"
   nerf: {{W: 16, D: 2, V_D: 1, skips: [1]}}

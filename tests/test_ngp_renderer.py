@@ -146,3 +146,47 @@ def test_shallow_dilation_rejected(ngp):
             occupancy=(np.ones((8, 8, 8), np.uint8),
                        (-1.5, -1.5, -1.5, 1.5, 1.5, 1.5), 1),
             s=s, probe_sub=4)
+
+
+def test_mid_coarse_compaction_matches(ngp):
+    """occ_capacity: with a full grid every active ray has occupied
+    candidates, so a roomy occ_capacity must reproduce the
+    no-compaction image exactly; with a half-empty selection grid the
+    culled rays must composite as pure background."""
+    fn, params, c2w = _frame_setup(ngp, grid_value=1, n_candidates=8,
+                                   n_coarse=8, n_fine=4, capacity=1.0,
+                                   fine_capacity=1.0, probe_sub=1)
+    rgb_ref, _ = fn(params, c2w)
+    net, _ = ngp
+    apply_fn = make_ngp_eval_apply(net, params)
+    s = RenderSettings(N_samples=8, N_importance=8, ray_chunk=32,
+                       density_activation="softplus")
+    occ = (np.ones((8, 8, 8), np.uint8),
+           (-1.5, -1.5, -1.5, 1.5, 1.5, 1.5), 2)
+    fn_mid = make_ngp_frame_renderer(
+        apply_fn, 8, 8, focal=0.5 * 8 / np.tan(0.3), occupancy=occ,
+        s=s, n_candidates=8, n_coarse=8, n_fine=4, capacity=1.0,
+        fine_capacity=1.0, probe_sub=1, out_dtype=jnp.float32,
+        return_stats=True, occ_capacity=1.0)
+    rgb_mid, stats = fn_mid(params, c2w)
+    assert int(stats["occ_rays"]) == 64
+    assert int(stats["occ_overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(rgb_mid), np.asarray(rgb_ref),
+                               atol=1e-5)
+
+    # selection grid empty in the x<0 half: those rays render as bg
+    sel = np.ones((8, 8, 8), np.uint8)
+    sel[:4] = 0
+    fn_half = make_ngp_frame_renderer(
+        apply_fn, 8, 8, focal=0.5 * 8 / np.tan(0.3), occupancy=occ,
+        s=s, n_candidates=8, n_coarse=8, n_fine=4, capacity=1.0,
+        fine_capacity=1.0, probe_sub=1, out_dtype=jnp.float32,
+        return_stats=True, occ_capacity=0.5,
+        select_occupancy=(sel, occ[1]))
+    rgb_half, stats_h = fn_half(params, c2w)
+    n_occ_rays = int(stats_h["occ_rays"])
+    assert 0 < n_occ_rays < 64
+    img = np.asarray(rgb_half).reshape(8, 8, 3)
+    # at least the culled count renders exact background
+    n_bg = int((img == 1.0).all(-1).sum())
+    assert n_bg >= 64 - n_occ_rays - int(stats_h["occ_overflow"])
