@@ -184,10 +184,11 @@ def make_ngp_frame_renderer(
     apply_fn, H: int, W: int, focal: float, occupancy,
     s: RenderSettings, n_candidates: int = 32, n_coarse: int = 16,
     n_fine: int = 16, capacity: float = 0.35,
-    fine_capacity: float | None = None, probe_sub: int = 4,
+    fine_capacity: float | None = None, probe_sub: int | str = 4,
     out_dtype=jnp.uint8, return_stats: bool = False, mesh=None,
     return_depth: bool = False, n_fine2: int = 0, stage: str = "full",
     select_occupancy=None, occ_capacity: float | None = None,
+    probe_stride: int = 1,
 ):
     """Build ``jit(fn)(params, c2w) -> rgb (H*W, 3)[, depth][, stats]``.
 
@@ -201,7 +202,12 @@ def make_ngp_frame_renderer(
     only rays with >=1 occupied selection-grid candidate reach the
     coarse field eval (the rest are grid-proven background). Size it
     from the measured ``occ_rays`` stat (~1.15x); ``None`` disables the
-    mid compaction (every probed-active ray is evaluated). ``n_fine2`` > 0 adds an optional second importance
+    mid compaction (every probed-active ray is evaluated).
+    ``probe_sub="auto"`` picks the largest probe-lattice stride (of
+    8/5/4/2/1) whose ray divergence stays inside one grid cell;
+    ``probe_stride`` widens the depth step to that many grid cells
+    (sound for stride <= 2*(dilate-1)+1 — a dilated blob spans
+    1+2*dilate cells and cannot be stepped over). ``n_fine2`` > 0 adds an optional second importance
     round (see module doc). ``mesh``: a data Mesh shards each frame WITHIN the pose
     (ray tensors P('data'), params replicated) so one frame uses every
     chip. ``stage`` ("probe"|"coarse"|"full") truncates the pipeline for
@@ -235,17 +241,32 @@ def make_ngp_frame_renderer(
         sel_bbox = tuple(float(b) for b in select_occupancy[1])
     else:
         sel_grid, sel_bbox = grid, bbox
-    if dilate < 2 and probe_sub > 1:
+    if dilate < 2 and (probe_sub == "auto" or probe_sub > 1):
         raise ValueError(
             "ngp frame renderer: probe_sub > 1 needs a grid dilated >= 2 "
             "cells (1 probe step + 1 ray divergence); rebuild the grid "
             "with dilate>=2 or pass probe_sub=1")
     r = grid.shape[0]
     cell = max((bbox[3 + d] - bbox[d]) / r for d in range(3))
-    n_probe = int(np.ceil((s.far - s.near) / cell)) + 1
-    sub = probe_sub
-    if sub > 1 and (sub * s.far / focal > cell or H % sub or W % sub):
-        sub = 1
+    if probe_stride > 1:
+        # sound for dilate >= 2: every occupied cell becomes a blob
+        # >= 1+2*dilate = 5 cells wide, so a probe every 2 cells cannot
+        # step over one; the span margin (2 probe steps) scales with the
+        # widened step automatically
+        if probe_stride > 2 * (dilate - 1) + 1:
+            raise ValueError(
+                f"probe_stride {probe_stride} too coarse for dilate="
+                f"{dilate}: occupied blobs are 1+2*dilate cells wide and "
+                "a stride above 2*(dilate-1)+1 can miss one")
+    n_probe = int(np.ceil((s.far - s.near) / (cell * probe_stride))) + 1
+    ok_sub = lambda q: (q == 1 or (q * s.far / focal <= cell
+                                   and H % q == 0 and W % q == 0))
+    if probe_sub == "auto":
+        # largest lattice stride whose worst-case ray divergence stays
+        # inside one probe-grid cell (the dilation budget)
+        sub = next(q for q in (8, 5, 4, 2, 1) if ok_sub(q))
+    else:
+        sub = probe_sub if ok_sub(probe_sub) else 1
     act = density_activation(s.density_activation)
     assert k1 % chunk == 0 and k2 % chunk == 0
     M, F, C, F2 = n_coarse, n_fine, n_candidates, n_fine2

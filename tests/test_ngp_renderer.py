@@ -190,3 +190,34 @@ def test_mid_coarse_compaction_matches(ngp):
     # at least the culled count renders exact background
     n_bg = int((img == 1.0).all(-1).sum())
     assert n_bg >= 64 - n_occ_rays - int(stats_h["occ_overflow"])
+
+
+def test_probe_stride_and_auto_sub(ngp):
+    """stride-2 probe on a dilate-2 grid keeps every ray active and
+    renders within sample-placement jitter of the stride-1 image (the
+    doubled margin widens spans on oblique rays, moving the uniform
+    candidate lattice slightly — quality arbitrated by the bench gate);
+    too-coarse stride raises."""
+    fn, params, c2w = _frame_setup(ngp, grid_value=1, n_candidates=8,
+                                   n_coarse=8, n_fine=4, capacity=1.0,
+                                   fine_capacity=1.0, probe_sub=1)
+    rgb_ref, _ = fn(params, c2w)
+    net, _ = ngp
+    apply_fn = make_ngp_eval_apply(net, params)
+    s = RenderSettings(N_samples=8, N_importance=8, ray_chunk=64,
+                       density_activation="softplus")
+    occ = (np.ones((8, 8, 8), np.uint8),
+           (-1.5, -1.5, -1.5, 1.5, 1.5, 1.5), 2)
+    fn2 = make_ngp_frame_renderer(
+        apply_fn, 8, 8, focal=0.5 * 8 / np.tan(0.3), occupancy=occ,
+        s=s, n_candidates=8, n_coarse=8, n_fine=4, capacity=1.0,
+        fine_capacity=1.0, probe_sub="auto", probe_stride=2,
+        out_dtype=jnp.float32, return_stats=True)
+    rgb2, stats = fn2(params, c2w)
+    assert int(stats["active_rays"]) == 64
+    np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb_ref),
+                               atol=3e-2)
+    with pytest.raises(ValueError, match="stride"):
+        make_ngp_frame_renderer(
+            apply_fn, 8, 8, focal=0.5 * 8 / np.tan(0.3), occupancy=occ,
+            s=s, probe_stride=4)
