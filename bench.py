@@ -39,6 +39,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 
+if os.environ.get("JAX_PLATFORMS"):
+    # Honor an explicit JAX_PLATFORMS even when a site hook pre-set the
+    # platform list via jax.config (CPU smoke runs of the bench).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def _arm_watchdog():
     """If the TPU tunnel is wedged (device ops never complete), emit a
@@ -236,6 +243,25 @@ def run_ngp(watchdog):
             "BENCH_RAY_CHUNK", cfg.task_arg.get("ray_chunk", 8000))),
         fast_sampling=False)
     act = density_activation(settings.density_activation)
+
+    # compile-check the fused field eval; if a kernel variant is
+    # rejected by Mosaic on this chip generation, step down rather than
+    # lose the whole benchmark run
+    for fallback in ({"NGP_FUSED_CGATHER": "0"}, {"NGP_FUSED": "0"}):
+        try:
+            p = jnp.zeros((4, 1, 3), jnp.float32)
+            d = jnp.zeros((4, 1, 3), jnp.float32)
+            np.asarray(apply_fn(params, p, d, "fine"))
+            break
+        except Exception as e:  # noqa: BLE001 — any compile failure
+            log(f"fused eval kernel failed ({type(e).__name__}); "
+                f"falling back with {fallback}")
+            os.environ.update(fallback)
+            apply_fn = make_ngp_eval_apply(
+                net, params,
+                mxu_max_rows=int(os.environ.get("BENCH_MXU_ROWS",
+                                                "2048")),
+                blk=int(os.environ.get("BENCH_BLK", "1024")))
 
     def density_fn(p, pts):
         return act(apply_fn(p, pts[:, None, :],
