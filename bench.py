@@ -487,6 +487,45 @@ def run_ngp(watchdog):
     log(f"ngp gate PASSED at C,M,F={chosen[:3]} "
         f"({chosen[3]:.1f} dB vs dense frame)")
 
+    if (os.environ.get("BENCH_TRY_BF16", "1") == "1"
+            and os.environ.get("NGP_FUSED_BF16", "0") != "1"
+            and os.environ.get("NGP_FUSED", "1") == "1" and gt_imgs):
+        # bf16-MLP refinement: ~6% per-point win in the micro-probes;
+        # adopt only if the test-view gate still clears
+        os.environ["NGP_FUSED_BF16"] = "1"
+        apply16 = make_ngp_eval_apply(
+            net, params,
+            mxu_max_rows=int(os.environ.get("BENCH_MXU_ROWS", "2048")),
+            blk=int(os.environ.get("BENCH_BLK", "1024")))
+        C, M, F = chosen[:3]
+        fn16 = make_ngp_frame_renderer(
+            apply16, H, W, focal=focal, occupancy=occupancy, s=settings,
+            n_candidates=C, n_coarse=M, n_fine=F, capacity=capacity,
+            fine_capacity=fine_cap, out_dtype=jnp.uint8,
+            return_stats=True, select_occupancy=select_occupancy,
+            occ_capacity=occ_cap, probe_sub=probe_sub,
+            probe_stride=probe_stride)
+        try:
+            psnrs16 = []
+            for pose, gt in zip(gate_poses, gt_imgs):
+                im16, _ = fn16(params, jnp.asarray(pose))
+                psnrs16.append(psnr_uint8(
+                    np.asarray(im16).reshape(H, W, 3).astype(np.float32)
+                    / 255.0, gt))
+            drop16 = dense_psnr - float(np.mean(psnrs16))
+            if drop16 <= gate_drop:
+                log(f"bf16-MLP refinement PASSED (drop {drop16:+.2f}); "
+                    "adopting")
+                frame_fn = fn16
+            else:
+                log(f"bf16-MLP refinement failed gate (drop "
+                    f"{drop16:+.2f}); keeping f32")
+                os.environ["NGP_FUSED_BF16"] = "0"
+        except Exception as e:  # noqa: BLE001
+            log(f"bf16-MLP refinement failed ({type(e).__name__}); "
+                "keeping f32")
+            os.environ["NGP_FUSED_BF16"] = "0"
+
     fps = time_frames(frame_fn, params, [jnp.asarray(p) for p in poses],
                       fetch)
     emit(fps, watchdog)

@@ -198,7 +198,10 @@ def run_evaluate():
                 out_dtype=jnp.float32, return_depth=True,
                 select_occupancy=select_occupancy,
                 occ_capacity=float(cfg.task_arg.get(
-                    "fast_occ_capacity", 0.0)) or None)
+                    "fast_occ_capacity", 0.0)) or None,
+                probe_sub=cfg.task_arg.get("fast_probe_sub", 4),
+                probe_stride=int(cfg.task_arg.get(
+                    "fast_probe_stride", 1)))
 
         _frame_cache = {}
 
