@@ -392,9 +392,11 @@ def make_ngp_frame_renderer(
             sp1b, t_c1b = takeb(span1), takeb(t_c1)
             live1b = takeb(occ_any)
         else:
+            # no mid compaction: every probed-active ray is evaluated
+            # AND composited (exact pre-occ_capacity semantics)
             sel1b = jnp.arange(k1)
             ro1b, rd1b, sp1b, t_c1b = ro1, rd1, span1, t_c1
-            live1b = live1 & (n_occ > 0)
+            live1b = live1
 
         # --- coarse field eval + composite on the compacted set ---------
         def coarse_chunk(args):
