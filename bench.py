@@ -39,12 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 
-if os.environ.get("JAX_PLATFORMS"):
-    # Honor an explicit JAX_PLATFORMS even when a site hook pre-set the
-    # platform list via jax.config (CPU smoke runs of the bench).
-    import jax as _jax
+from nerf_replication_tpu.utils.compile_cache import (  # noqa: E402
+    honor_jax_platforms_env,
+)
 
-    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+honor_jax_platforms_env()
 
 
 def _arm_watchdog():
@@ -376,6 +375,30 @@ def run_ngp(watchdog):
         img = res[0] if isinstance(res, tuple) else res
         return np.asarray(img)
 
+    def gate_psnr(fn, label, first_img=None):
+        """Quality-gate a candidate renderer: GT-drop criterion when
+        test views exist, else frame-vs-dense PSNR. Returns
+        (passed, q_vs_dense_frame)."""
+        imgs = []
+        for i, pose in enumerate(gate_poses):
+            if i == 0 and first_img is not None:
+                imgs.append(first_img)
+            else:
+                im, _ = fn(params, jnp.asarray(pose))
+                imgs.append(np.asarray(im))
+        norm = lambda im: im.reshape(H, W, 3).astype(np.float32) / 255.0
+        q = psnr_uint8(norm(imgs[0]), dense_imgs[0])
+        if gt_imgs:
+            fast = float(np.mean([
+                psnr_uint8(norm(im), gt)
+                for im, gt in zip(imgs, gt_imgs)]))
+            drop = dense_psnr - fast
+            log(f"{label}: test {fast:.2f} dB (drop {drop:+.2f} vs "
+                f"dense, budget {gate_drop}; {q:.1f} dB vs dense frame)")
+            return drop <= gate_drop, q
+        log(f"{label}: {q:.1f} dB vs dense (gate {gate_db})")
+        return q >= gate_db, q
+
     ladder_env = os.environ.get(
         "BENCH_NGP_LADDER",
         "16,8,6;24,10,8;32,10,10;32,14,12;40,16,14;48,20,16;64,32,24")
@@ -427,27 +450,9 @@ def run_ngp(watchdog):
                 img, stats = fn(params, jnp.asarray(gate_poses[0]))
                 img = np.asarray(img)
                 stats = {k: float(v) for k, v in stats.items()}
-        q = psnr_uint8(img.reshape(H, W, 3).astype(np.float32) / 255.0,
-                       dense_imgs[0])
-        if gt_imgs:
-            fast_psnrs = [psnr_uint8(
-                img.reshape(H, W, 3).astype(np.float32) / 255.0,
-                gt_imgs[0])]
-            for pose, gt in zip(gate_poses[1:], gt_imgs[1:]):
-                im2, _ = fn(params, jnp.asarray(pose))
-                fast_psnrs.append(psnr_uint8(
-                    np.asarray(im2).reshape(H, W, 3).astype(np.float32)
-                    / 255.0, gt))
-            fast_psnr = float(np.mean(fast_psnrs))
-            drop = dense_psnr - fast_psnr
-            log(f"ladder C={C} M={M} F={F}: test {fast_psnr:.2f} dB "
-                f"(drop {drop:+.2f} vs dense, budget {gate_drop}; "
-                f"{q:.1f} dB vs dense frame), stats={stats}")
-            passed = drop <= gate_drop
-        else:
-            log(f"ladder C={C} M={M} F={F}: {q:.1f} dB vs dense "
-                f"(gate {gate_db}), stats={stats}")
-            passed = q >= gate_db
+        log(f"ladder C={C} M={M} F={F}: stats={stats}")
+        passed, q = gate_psnr(fn, f"ladder C={C} M={M} F={F}",
+                              first_img=img)
         if passed:
             frame_fn, chosen = fn, (C, M, F, q)
             break
@@ -465,20 +470,10 @@ def run_ngp(watchdog):
                 capacity=capacity, fine_capacity=fine_cap,
                 out_dtype=jnp.uint8, return_stats=True,
                 select_occupancy=select_occupancy, occ_capacity=occ_cap)
-            if not gt_imgs:
-                break
-            fast_psnrs = []
-            for pose, gt in zip(gate_poses, gt_imgs):
-                im2, _ = fn(params, jnp.asarray(pose))
-                fast_psnrs.append(psnr_uint8(
-                    np.asarray(im2).reshape(H, W, 3).astype(np.float32)
-                    / 255.0, gt))
-            drop = dense_psnr - float(np.mean(fast_psnrs))
-            log(f"ladder(conservative) C={C} M={M} F={F}: drop "
-                f"{drop:+.2f}")
-            if drop <= gate_drop:
-                frame_fn, chosen = fn, (C, M, F, float(np.mean(
-                    fast_psnrs)))
+            passed, q = gate_psnr(
+                fn, f"ladder(conservative) C={C} M={M} F={F}")
+            if passed:
+                frame_fn, chosen = fn, (C, M, F, q)
                 break
     if frame_fn is None:
         log("ngp gate: no ladder step passed; reporting dense-path fps")
@@ -489,7 +484,7 @@ def run_ngp(watchdog):
 
     if (os.environ.get("BENCH_TRY_BF16", "1") == "1"
             and os.environ.get("NGP_FUSED_BF16", "0") != "1"
-            and os.environ.get("NGP_FUSED", "1") == "1" and gt_imgs):
+            and os.environ.get("NGP_FUSED", "1") == "1"):
         # bf16-MLP refinement: ~6% per-point win in the micro-probes;
         # adopt only if the test-view gate still clears
         os.environ["NGP_FUSED_BF16"] = "1"
@@ -506,20 +501,12 @@ def run_ngp(watchdog):
             occ_capacity=occ_cap, probe_sub=probe_sub,
             probe_stride=probe_stride)
         try:
-            psnrs16 = []
-            for pose, gt in zip(gate_poses, gt_imgs):
-                im16, _ = fn16(params, jnp.asarray(pose))
-                psnrs16.append(psnr_uint8(
-                    np.asarray(im16).reshape(H, W, 3).astype(np.float32)
-                    / 255.0, gt))
-            drop16 = dense_psnr - float(np.mean(psnrs16))
-            if drop16 <= gate_drop:
-                log(f"bf16-MLP refinement PASSED (drop {drop16:+.2f}); "
-                    "adopting")
+            passed16, _ = gate_psnr(fn16, "bf16-MLP refinement")
+            if passed16:
+                log("bf16-MLP refinement PASSED; adopting")
                 frame_fn = fn16
             else:
-                log(f"bf16-MLP refinement failed gate (drop "
-                    f"{drop16:+.2f}); keeping f32")
+                log("bf16-MLP refinement failed gate; keeping f32")
                 os.environ["NGP_FUSED_BF16"] = "0"
         except Exception as e:  # noqa: BLE001
             log(f"bf16-MLP refinement failed ({type(e).__name__}); "

@@ -241,11 +241,14 @@ def make_ngp_frame_renderer(
         sel_bbox = tuple(float(b) for b in select_occupancy[1])
     else:
         sel_grid, sel_bbox = grid, bbox
-    if dilate < 2 and (probe_sub == "auto" or probe_sub > 1):
-        raise ValueError(
-            "ngp frame renderer: probe_sub > 1 needs a grid dilated >= 2 "
-            "cells (1 probe step + 1 ray divergence); rebuild the grid "
-            "with dilate>=2 or pass probe_sub=1")
+    if dilate < 2:
+        if probe_sub == "auto":
+            probe_sub = 1       # auto degrades; explicit >1 is an error
+        elif probe_sub > 1:
+            raise ValueError(
+                "ngp frame renderer: probe_sub > 1 needs a grid dilated "
+                ">= 2 cells (1 probe step + 1 ray divergence); rebuild "
+                "the grid with dilate>=2 or pass probe_sub=1")
     r = grid.shape[0]
     cell = max((bbox[3 + d] - bbox[d]) / r for d in range(3))
     if probe_stride > 1:

@@ -13,6 +13,17 @@ _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
 
 
+def honor_jax_platforms_env():
+    """Honor an explicit ``JAX_PLATFORMS`` env even when a site hook
+    pre-set the platform list via ``jax.config`` (standard JAX consults
+    the env only when the config was never touched). Call before first
+    device use; the CLIs and bench all route through this."""
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def enable_compile_cache(path: str | None = None):
     import jax
 

@@ -27,16 +27,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nerf_replication_tpu.config import init_global_cfg
-from nerf_replication_tpu.utils.compile_cache import enable_compile_cache
+from nerf_replication_tpu.utils.compile_cache import (
+    enable_compile_cache,
+    honor_jax_platforms_env,
+)
 
 cfg, args = init_global_cfg()
 
-if os.environ.get("JAX_PLATFORMS"):
-    # Honor an explicit JAX_PLATFORMS env even when a site hook
-    # force-selected a platform list via jax.config.
-    import jax as _jax
-
-    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+honor_jax_platforms_env()
 enable_compile_cache()
 
 

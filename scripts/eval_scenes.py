@@ -69,10 +69,17 @@ def main():
                     n_train=args.views, n_val=2, n_test=4,
                     spheres=variant_spheres(scene))
         if args.train:
-            subprocess.run(
+            tr = subprocess.run(
                 [sys.executable, os.path.join(root, "train.py"),
                  "--cfg_file", cfg, *scene_opts, *args.opts],
-                cwd=root, check=True)
+                cwd=root, capture_output=True, text=True)
+            sys.stdout.write(tr.stdout[-2000:])
+            if tr.returncode != 0:
+                # one scene's failure must not nuke the other scenes'
+                # results (the sweep writes its table at the very end)
+                print(f"{scene}: TRAIN FAILED rc={tr.returncode}")
+                results[scene] = {"error": tr.stderr[-500:]}
+                continue
         res = subprocess.run(
             [sys.executable, os.path.join(root, "run.py"), "--type",
              "evaluate", "--cfg_file", cfg, *scene_opts, *args.opts],

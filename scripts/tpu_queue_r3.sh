@@ -34,6 +34,7 @@ BENCH_MODEL=freq timeout 1800 python bench.py \
 echo "=== 8-scene sweep (train 3k steps + evaluate each) ==="
 timeout 14000 python scripts/eval_scenes.py \
     --base_cfg configs/nerf/sweep_ngp.yaml --train \
+    --generate 200 --views 40 \
     --out result/scene_sweep.json \
     > result/scene_sweep.log 2>&1
 tail -12 result/scene_sweep.log

@@ -145,14 +145,12 @@ def main():
 
     import jax
 
-    # Honor an explicit JAX_PLATFORMS env even when a site hook
-    # force-selected a platform list via jax.config (standard JAX
-    # consults the env only when the config was never touched).
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from nerf_replication_tpu.utils.compile_cache import (
+        enable_compile_cache,
+        honor_jax_platforms_env,
+    )
 
-    from nerf_replication_tpu.utils.compile_cache import enable_compile_cache
-
+    honor_jax_platforms_env()
     enable_compile_cache()
     if cfg.distributed:
         jax.distributed.initialize()
