@@ -6,14 +6,22 @@
 cd /root/repo
 mkdir -p result
 
+# the tunneled chip admits ONE client; even CPU-mode python processes
+# dial the relay here. Wait (up to 30 min) for quiet before starting.
+for i in $(seq 1 90); do
+  n=$(pgrep -c python 2>/dev/null || echo 0)
+  [ "$n" -le 0 ] && break
+  sleep 20
+done
+
 echo "=== fused-kernel gather probe (combined vs split) ==="
 PROBE_BLKS=1024 timeout 2000 python scripts/probe_fused.py \
     > result/probe_fused_cg.log 2>&1
 tail -6 result/probe_fused_cg.log
 
 echo "=== NGP bench: selection grid + mid compaction + probe accel ==="
-timeout 3000 python bench.py 2> result/bench_ngp_r3c.log \
-    | tee result/bench_ngp_r3c.json
+BENCH_TIMEOUT=4200 timeout 4500 python bench.py \
+    2> result/bench_ngp_r3c.log | tee result/bench_ngp_r3c.json
 tail -16 result/bench_ngp_r3c.log
 
 echo "=== frame strip profile (with occ compaction) ==="
