@@ -166,3 +166,16 @@ def test_evaluate_fast_render(ngp_workdir):
     assert "occupancy grid" in r.stdout
     assert "fast frame renderer" in r.stdout or "fps:" in r.stdout
     assert "'psnr'" in r.stdout
+
+
+def test_eval_scenes_survives_scene_failure(workdir, tmp_path):
+    """One scene's train failure records an error row; the sweep still
+    writes its table (scripts/eval_scenes.py --base_cfg path)."""
+    out = tmp_path / "sweep.json"
+    r = _run(["scripts/eval_scenes.py", "--scenes", "nosuchscene",
+              "--base_cfg", "configs/nerf/sweep_ngp.yaml", "--train",
+              "--out", str(out)], workdir, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    table = json.loads((workdir / str(out)).read_text()
+                       if not out.is_absolute() else out.read_text())
+    assert "error" in table["nosuchscene"]
