@@ -351,22 +351,27 @@ def make_ngp_frame_renderer(
             t_cand = te[:, None] + span[:, None] * uu[None, :]   # (c, C)
             p_cand = ro[:, None] + rd[:, None] * t_cand[..., None]
             occ_c = points_occupied(p_cand, sel_grid, sel_bbox)
-            # keep n_coarse candidates with COVERAGE: sort occupied-first
-            # (ascending depth within each class), then stride evenly
+            # keep n_coarse candidates with COVERAGE: occupied-first
+            # (ascending depth within each class), striding evenly
             # through the occupied pool — a plain top-M would cluster at
-            # the span front whenever more than M candidates are occupied
-            score = jnp.where(occ_c, 0.0, 2.0) + uu[None, :] * 1e-3
-            _, t_sorted = jax.lax.sort((score, t_cand), dimension=-1,
-                                       num_keys=1)
-            pool = jnp.maximum(occ_c.sum(-1), M)                  # (c,)
+            # the span front whenever more than M candidates are
+            # occupied. Rank-by-cumsum IS that stable two-class sort
+            # permutation (candidates are already depth-ordered), so no
+            # lax.sort is needed: occupied candidate k gets rank
+            # cumsum(occ)[k], unoccupied ranks follow after n_occ.
+            occ_i = occ_c.astype(jnp.int32)
+            n_occd = occ_i.sum(-1)                                # (c,)
+            rank = jnp.where(
+                occ_c, jnp.cumsum(occ_i, axis=-1),
+                n_occd[:, None] + jnp.cumsum(1 - occ_i, axis=-1))
+            pool = jnp.maximum(n_occd, M)
             j = jnp.arange(M, dtype=jnp.int32)
-            pos = (j[None, :] * pool[:, None]) // M               # (c, M)
-            onehot = (pos[..., None] ==
-                      jnp.arange(C, dtype=jnp.int32)[None, None]
-                      ).astype(t_sorted.dtype)
-            t_sel = jnp.einsum("cmk,ck->cm", onehot, t_sorted)
+            pos = (j[None, :] * pool[:, None]) // M + 1           # (c, M)
+            onehot = (pos[..., None] == rank[:, None, :]).astype(
+                t_cand.dtype)
+            t_sel = jnp.einsum("cmk,ck->cm", onehot, t_cand)
             t_c = jax.lax.sort(t_sel, dimension=-1)               # (c, M)
-            return t_c, occ_c.sum(-1).astype(jnp.int32)
+            return t_c, n_occd
 
         t_c1, n_occ = jax.lax.map(
             select_chunk,

@@ -221,3 +221,36 @@ def test_probe_stride_and_auto_sub(ngp):
         make_ngp_frame_renderer(
             apply_fn, 8, 8, focal=0.5 * 8 / np.tan(0.3), occupancy=occ,
             s=s, probe_stride=4)
+
+
+def test_rank_select_matches_sort_oracle():
+    """The rank-by-cumsum candidate selection must equal the two-class
+    stable-sort + stride-selection formulation it replaced (numpy
+    oracle), across occupancy densities incl. all-empty and all-full."""
+    rng = np.random.default_rng(3)
+    c, C, M = 129, 16, 6
+    te = rng.uniform(2, 3, (c,)).astype(np.float32)
+    span = rng.uniform(0.5, 3, (c,)).astype(np.float32)
+    occ = rng.random((c, C)) < rng.random((c, 1))
+    occ[0], occ[1] = False, True
+    uu = (np.arange(C, dtype=np.float32) + 0.5) / C
+    t_cand = te[:, None] + span[:, None] * uu[None, :]
+
+    # oracle: stable sort by (occupied-first, depth), stride the pool
+    score = np.where(occ, 0.0, 2.0) + uu[None, :] * 1e-3
+    order = np.argsort(score, axis=-1, kind="stable")
+    t_sorted = np.take_along_axis(t_cand, order, axis=-1)
+    pool = np.maximum(occ.sum(-1), M)
+    j = np.arange(M)
+    pos = (j[None, :] * pool[:, None]) // M
+    t_ref = np.sort(np.take_along_axis(t_sorted, pos, axis=-1), -1)
+
+    # renderer formulation (mirrors select_chunk)
+    occ_i = occ.astype(np.int64)
+    n_occ = occ_i.sum(-1)
+    rank = np.where(occ, np.cumsum(occ_i, -1),
+                    n_occ[:, None] + np.cumsum(1 - occ_i, -1))
+    pos1 = (j[None, :] * np.maximum(n_occ, M)[:, None]) // M + 1
+    onehot = (pos1[..., None] == rank[:, None, :]).astype(np.float32)
+    t_new = np.sort(np.einsum("cmk,ck->cm", onehot, t_cand), -1)
+    np.testing.assert_array_equal(t_ref, t_new)
