@@ -328,7 +328,15 @@ def make_ngp_frame_renderer(
         active = jnp.pad(active, (0, n_pad)) & (jnp.arange(n_full) < n)
 
         # --- active compaction ------------------------------------------
-        order1 = jnp.argsort(~active)            # stable: actives first
+        # stable partition (actives first, index order kept) == the
+        # argsort(~active) permutation, via cumsum slots + one scatter
+        # instead of an O(n log^2 n) 640k-element sort
+        act_i = active.astype(jnp.int32)
+        n_act = act_i.sum()
+        slot = jnp.where(active, jnp.cumsum(act_i) - 1,
+                         n_act + jnp.cumsum(1 - act_i) - 1)
+        order1 = jnp.zeros((n_full,), jnp.int32).at[slot].set(
+            jnp.arange(n_full, dtype=jnp.int32), unique_indices=True)
         sel1 = order1[:k1]
         take = lambda x: jnp.take(
             jnp.pad(x, ((0, n_pad),) + ((0, 0),) * (x.ndim - 1)),
@@ -393,7 +401,15 @@ def make_ngp_frame_renderer(
             occ_any = live1 & (n_occ > 0)
             stats["occ_rays"] = occ_any.sum()
             stats["occ_overflow"] = jnp.maximum(occ_any.sum() - k1m, 0)
-            sel1b = jnp.argsort(~occ_any)[:k1m]     # stable: occ first
+            # stable partition (occ rays first) via cumsum slots — same
+            # permutation as argsort(~occ_any), no k1-element sort
+            occ_i2 = occ_any.astype(jnp.int32)
+            n_occ2 = occ_i2.sum()
+            slot2 = jnp.where(occ_any, jnp.cumsum(occ_i2) - 1,
+                              n_occ2 + jnp.cumsum(1 - occ_i2) - 1)
+            sel1b = jnp.zeros((k1,), jnp.int32).at[slot2].set(
+                jnp.arange(k1, dtype=jnp.int32),
+                unique_indices=True)[:k1m]
             takeb = lambda x: jnp.take(x, sel1b, axis=0,
                                        unique_indices=True)
             ro1b, rd1b = takeb(ro1), takeb(rd1)
@@ -441,8 +457,8 @@ def make_ngp_frame_renderer(
 
         # --- fine-pass compaction by coarse opacity ---------------------
         acc_key = jnp.where(live1b, acc1, -1.0)
-        order2 = jnp.argsort(-acc_key)
-        sel2 = order2[:k2]
+        # top-k (ties lower-index-first) == argsort(-acc_key)[:k2]
+        _, sel2 = jax.lax.top_k(acc_key, k2)
         stats["nontrivial_rays"] = (acc_key > 1e-3).sum()
         stats["fine_overflow"] = jnp.maximum((acc_key > 1e-3).sum() - k2, 0)
         take2 = lambda x: jnp.take(x, sel2, axis=0, unique_indices=True)
