@@ -743,8 +743,16 @@ class Renderer:
                     active = rays_active(ro, rd, t_probe, occ_grid,
                                          occ_bbox)
                     active = active & (jnp.arange(n_full) < n)
-                order1 = jnp.argsort(~active)       # actives first, stable
-                sel1 = order1[:k1]
+                # stable partition (actives first, index order kept) ==
+                # argsort(~active), via cumsum slots + one scatter
+                # instead of a full-frame sort
+                act_i = active.astype(jnp.int32)
+                slot = jnp.where(
+                    active, jnp.cumsum(act_i) - 1,
+                    act_i.sum() + jnp.cumsum(1 - act_i) - 1)
+                sel1 = jnp.zeros((n_full,), jnp.int32).at[slot].set(
+                    jnp.arange(n_full, dtype=jnp.int32),
+                    unique_indices=True)[:k1]
                 rgb1, acc1, w1 = coarse_chunks(
                     jnp.take(ro, sel1, axis=0, unique_indices=True),
                     jnp.take(rd, sel1, axis=0, unique_indices=True))
@@ -761,8 +769,8 @@ class Renderer:
             k_eff = min(k, k1_eff)
             live1 = (jnp.arange(n_full) < n) if sel1 is None else (sel1 < n)
             acc1 = jnp.where(live1, acc1, 0.0)
-            order2 = jnp.argsort(-acc1)
-            sel2 = order2[:k_eff]
+            # top-k (ties lower-index-first) == argsort(-acc1)[:k_eff]
+            _, sel2 = jax.lax.top_k(acc1, k_eff)
             # rays with real opacity beyond the fine budget render
             # coarse-only; report how many
             stats["fine_overflow"] = jnp.maximum(
