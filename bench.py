@@ -46,26 +46,129 @@ from nerf_replication_tpu.utils.compile_cache import (  # noqa: E402
 honor_jax_platforms_env()
 
 
+_TAG = os.environ.get("BENCH_TAG", "r4")
+_JSON_PATHS = [os.path.join(ROOT, "result", f"bench_{_TAG}.json")]
+_LOG_PATH = os.path.join(ROOT, "result", f"bench_{_TAG}.log")
+
+
+class _TeeStderr:
+    """Duplicate stderr into result/bench_<tag>.log so every run —
+    including ones killed by the driver or the watchdog — leaves a
+    committed artifact (VERDICT r3 item 1c)."""
+
+    def __init__(self, path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self._f = open(path, "w")
+        self._orig = sys.stderr
+
+    def write(self, s):
+        self._orig.write(s)
+        self._f.write(s)
+        self._f.flush()
+
+    def flush(self):
+        self._orig.flush()
+        self._f.flush()
+
+
+def _emit_obj(obj):
+    """Print the metric line AND persist it to result/ unconditionally."""
+    line = json.dumps(obj)
+    print(line, flush=True)
+    for p in _JSON_PATHS:
+        try:
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "w") as f:
+                f.write(line + "\n")
+        except OSError as e:
+            print(f"bench: cannot persist {p}: {e}", file=sys.stderr)
+    try:
+        with open(os.path.join(ROOT, "result", "bench_history.jsonl"),
+                  "a") as f:
+            f.write(json.dumps({**obj, "ts": time.time(),
+                                "tag": _TAG}) + "\n")
+    except OSError:
+        pass
+
+
+def _last_good_metric():
+    """Newest committed fps metric in result/ (for stale emission when
+    the TPU tunnel is down — an old measured number beats a null)."""
+    best, best_mtime = None, -1.0
+    d = os.path.join(ROOT, "result")
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return None
+    for name in names:
+        if not (name.startswith("bench") and name.endswith(".json")):
+            continue
+        p = os.path.join(d, name)
+        try:
+            with open(p) as f:
+                obj = json.loads(f.readline())
+            # value floor 0.5 fps: excludes known gate-failure dense
+            # fallbacks (~0.02 fps); CPU smokes and non-800 sizes never
+            # qualify (fields absent = pre-r4 files, which were 800/TPU)
+            if (obj.get("metric") == "render_fps_800x800"
+                    and float(obj.get("value", 0)) >= 0.5
+                    and not obj.get("stale")
+                    and obj.get("platform", "tpu") != "cpu"
+                    and int(obj.get("size", 800)) == 800
+                    and obj.get("gate", {}).get("kind") != "dense-fallback"
+                    and os.path.getmtime(p) > best_mtime):
+                best, best_mtime = obj, os.path.getmtime(p)
+        except (OSError, ValueError):
+            continue
+    return best
+
+
+def _emit_stale(reason):
+    last = _last_good_metric()
+    if last is None:
+        _emit_obj({"metric": "render_fps_800x800", "value": 0.0,
+                   "unit": "fps", "vs_baseline": 0.0, "stale": True,
+                   "stale_reason": reason})
+    else:
+        _emit_obj({**{k: last[k] for k in
+                      ("metric", "value", "unit", "vs_baseline")},
+                   "stale": True, "stale_reason": reason})
+    log(f"bench: STALE metric emitted ({reason})")
+
+
 def _arm_watchdog():
-    """If the TPU tunnel is wedged (device ops never complete), emit a
-    zero-valued metric line instead of hanging the driver forever."""
+    """If the TPU tunnel is wedged (device ops never complete), emit the
+    last-good cached metric (marked stale) instead of hanging the driver
+    forever. Armed BEFORE any jax backend use; the default must stay
+    below any plausible driver timeout (r3's driver killed at ~25 min)."""
     import threading
 
-    timeout = float(os.environ.get("BENCH_TIMEOUT", "3000"))
+    timeout = float(os.environ.get("BENCH_TIMEOUT", "1200"))
 
     def fire():
-        print(json.dumps({
-            "metric": "render_fps_800x800", "value": 0.0, "unit": "fps",
-            "vs_baseline": 0.0,
-        }), flush=True)
-        print("bench watchdog: device unresponsive, aborting",
-              file=sys.stderr, flush=True)
+        _emit_stale(f"watchdog: no result after {timeout:.0f}s "
+                    "(device or tunnel unresponsive)")
+        print("bench watchdog: aborting", file=sys.stderr, flush=True)
         os._exit(3)
 
     t = threading.Timer(timeout, fire)
     t.daemon = True
     t.start()
     return t
+
+
+def _probe_backend():
+    """Initialize the JAX backend under the already-armed watchdog.
+    Returns the platform name, or None if init failed. Never lets an
+    implicit CPU fallback masquerade as a TPU run."""
+    import jax
+    try:
+        platform = jax.devices()[0].platform
+    except Exception as e:  # noqa: BLE001 — backend init failure
+        log(f"bench: backend init failed: {type(e).__name__}: {e}")
+        return None
+    log(f"bench: backend platform = {platform}")
+    return platform
 
 
 def log(msg):
@@ -111,14 +214,24 @@ def _cache_save(path, **arrs):
     np.savez(path, **arrs)
 
 
-def emit(fps, watchdog):
+def emit(fps, watchdog, gate=None):
     watchdog.cancel()
-    print(json.dumps({
+    try:
+        import jax
+        platform = jax.default_backend()
+    except Exception:  # noqa: BLE001
+        platform = "unknown"
+    obj = {
         "metric": "render_fps_800x800",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 5.0, 3),
-    }))
+        "platform": platform,
+        "size": int(os.environ.get("BENCH_SIZE", "800")),
+    }
+    if gate:
+        obj["gate"] = gate
+    _emit_obj(obj)
 
 
 def orbit_poses(frames):
@@ -218,7 +331,11 @@ def run_ngp(watchdog):
             if os.path.isdir(d):
                 ckpt = d
                 break
-    trained = load_pretrain(ckpt)
+    trained = load_pretrain(ckpt) if ckpt else None
+    if trained is None:
+        log(f"ngp bench: no NGP checkpoint found (ckpt={ckpt!r}); "
+            "falling back to freq mode")
+        return run_freq(watchdog)
     params = jax.tree.map(jnp.asarray, trained)
     rows = params["params"]["xyz_encoder"]["table"].shape[0]
     bricks = _detect_bricks(rows, cfg.network.xyz_encoder)
@@ -337,7 +454,13 @@ def run_ngp(watchdog):
             log(f"gate: {len(idx)} GT test views {idx} "
                 f"(drop budget {gate_drop} dB)")
     except Exception as e:  # noqa: BLE001 — gate falls back, bench runs
-        log(f"gate: no GT test split ({e}); frame-vs-dense gate")
+        log(f"gate: no GT test split ({e})")
+    if not gt_imgs:
+        # VERDICT r3 item 8: the frame-vs-dense criterion is weaker than
+        # the GT-drop criterion — make the downgrade impossible to miss
+        log("WARNING: no GT views at bench size — quality gate degrades "
+            f"to the frame-vs-dense >= {gate_db} dB criterion; numbers "
+            "gated this way are marked gate=frame-vs-dense in the JSON")
 
     # --- dense reference frames, product dense math --------------------
     renderer = Renderer(net, settings=settings, mesh=None).use_apply(
@@ -477,7 +600,7 @@ def run_ngp(watchdog):
                 break
     if frame_fn is None:
         log("ngp gate: no ladder step passed; reporting dense-path fps")
-        emit(1.0 / dense_s, watchdog)
+        emit(1.0 / dense_s, watchdog, gate={"kind": "dense-fallback"})
         return
     log(f"ngp gate PASSED at C,M,F={chosen[:3]} "
         f"({chosen[3]:.1f} dB vs dense frame)")
@@ -515,7 +638,13 @@ def run_ngp(watchdog):
 
     fps = time_frames(frame_fn, params, [jnp.asarray(p) for p in poses],
                       fetch)
-    emit(fps, watchdog)
+    emit(fps, watchdog, gate={
+        "kind": "gt-drop" if gt_imgs else "frame-vs-dense",
+        "ladder": list(chosen[:3]),
+        "q_vs_dense_db": round(chosen[3], 2),
+        **({"drop_budget_db": gate_drop, "dense_test_psnr":
+            round(dense_psnr, 2)} if gt_imgs else
+           {"gate_db": gate_db})})
 
 
 def run_freq(watchdog):
@@ -637,6 +766,7 @@ def run_freq(watchdog):
             "coarse-only or as background; raise BENCH_CAPACITY/"
             "BENCH_COARSE_CAPACITY for full quality")
 
+    gate_info = {"kind": "freq", "ert": "env" if ert_env else "off"}
     if ert_env == "" and occupancy is not None and fast:
         # automated ERT gate: promote 2-segment surface-split ERT only
         # when the rendered frame stays within BENCH_ERT_GATE dB of the
@@ -654,21 +784,42 @@ def run_freq(watchdog):
         if q >= gate:
             log(f"ERT gate PASSED ({q:.1f} dB >= {gate}): 2-segment ERT on")
             frame_fn = ert_fn
+            gate_info = {"kind": "freq-ert", "q_vs_dense_db": round(q, 1),
+                         "gate_db": gate}
         else:
             log(f"ERT gate failed ({q:.1f} dB < {gate}): dense path kept")
             renderer.settings = dataclasses.replace(
                 renderer.settings, ert_segments=1)
+            gate_info = {"kind": "freq-dense", "q_vs_dense_db": round(q, 1)}
 
     fps = time_frames(frame_fn, params, [jnp.asarray(p) for p in poses],
                       fetch)
-    emit(fps, watchdog)
+    emit(fps, watchdog, gate=gate_info)
 
 
 def main():
+    sys.stderr = _TeeStderr(_LOG_PATH)
+    # order matters (VERDICT r3 item 1): watchdog FIRST — backend init on
+    # a wedged tunnel blocks ~7 min and can then hang device ops forever
+    watchdog = _arm_watchdog()
+
+    platform = _probe_backend()
+    explicit = os.environ.get("JAX_PLATFORMS", "")
+    if platform is None:
+        _emit_stale("TPU backend failed to initialize")
+        watchdog.cancel()
+        return
+    if platform == "cpu" and "cpu" not in explicit \
+            and os.environ.get("BENCH_ALLOW_CPU", "0") != "1":
+        # implicit CPU fallback after a failed accelerator init: a dense
+        # gate render at 800^2 takes hours on host — never start it
+        _emit_stale("implicit CPU fallback (accelerator unavailable)")
+        watchdog.cancel()
+        return
+
     from nerf_replication_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    watchdog = _arm_watchdog()
 
     mode = os.environ.get("BENCH_MODEL", "")
     if not mode:
@@ -678,10 +829,18 @@ def main():
                       "med_ngp_b9", "med_ngp_b10", "med_ngp"))
         mode = "ngp" if has_ngp else "freq"
     log(f"bench mode: {mode}")
+    _JSON_PATHS.append(os.path.join(
+        ROOT, "result", f"bench_{mode}_{_TAG}.json"))
     if mode == "ngp":
         run_ngp(watchdog)
     else:
         run_freq(watchdog)
+    try:
+        import shutil
+        shutil.copyfile(_LOG_PATH, os.path.join(
+            ROOT, "result", f"bench_{mode}_{_TAG}.log"))
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

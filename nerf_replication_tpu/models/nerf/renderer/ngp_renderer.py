@@ -221,6 +221,11 @@ def make_ngp_frame_renderer(
     128-cubed probe grid would force ``probe_sub=1``: 8x the probe
     work). Defaults to the probe grid.
     """
+    if n_coarse > n_candidates:
+        # select_chunk ranks candidates; with n_coarse > n_candidates the
+        # one-hot select rows go all-zero and t silently collapses to 0.0
+        raise ValueError(
+            f"n_coarse={n_coarse} must be <= n_candidates={n_candidates}")
     n = H * W
     chunk = min(s.ray_chunk, n)
     n_pad = (-n) % chunk

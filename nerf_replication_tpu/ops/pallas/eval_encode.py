@@ -174,6 +174,11 @@ def brick_encode_eval(layout: BrickLayout, packed_table, x,
     """
     L = len(layout.scales)
     n = x.shape[0]
+    # the scalar-strategy row copy runs in _UNROLL-row groups; a blk
+    # that is not a multiple would silently skip the tail rows and
+    # interpolate uninitialized VMEM scratch (blk is BENCH_BLK-settable)
+    if blk % _UNROLL != 0:
+        raise ValueError(f"blk={blk} must be a multiple of {_UNROLL}")
     strategies = _eval_strategies(layout, mxu_max_rows)
     any_mxu = "mxu" in strategies
     npad = -(-n // blk) * blk

@@ -139,7 +139,12 @@ def run_evaluate():
         )
 
         ngp_apply = make_ngp_eval_apply(network, params)
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — non-NGP nets land here
+        # only non-NGP nets should take this fallback; a corrupt table
+        # or kernel compile error must not silently disable fast_render
+        print(f"ngp eval-encode kernel: disabled "
+              f"({type(e).__name__}: {e}); using the XLA eval path",
+              file=sys.stderr)
         ngp_apply = None
     if ngp_apply is not None:
         renderer.use_apply(ngp_apply)

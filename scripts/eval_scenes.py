@@ -37,11 +37,35 @@ def main():
                         "exp_name are passed per scene as opts instead "
                         "of one yaml per scene")
     p.add_argument("--opts", nargs="*", default=[])
+    p.add_argument("--force", action="store_true",
+                   help="re-run scenes already present in --out")
     args = p.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(root, args.out)
+
+    # re-entrant: resume from a previous partial sweep (a mid-queue
+    # outage keeps finished scenes; error rows are retried)
     results = {}
+    if os.path.exists(out_path) and not args.force:
+        try:
+            with open(out_path) as f:
+                results = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            results = {}
+
+    def save():
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(results, f, indent=2)
+        os.replace(tmp, out_path)
+
     for scene in args.scenes:
+        prev = results.get(scene)
+        if prev and not prev.get("error") and not args.force:
+            print(f"skip {scene}: already swept ({prev})")
+            continue
         if args.base_cfg:
             cfg = os.path.join(root, args.base_cfg)
             scene_opts = ["scene", scene, "exp_name", f"{scene}_sweep"]
@@ -76,9 +100,10 @@ def main():
             sys.stdout.write(tr.stdout[-2000:])
             if tr.returncode != 0:
                 # one scene's failure must not nuke the other scenes'
-                # results (the sweep writes its table at the very end)
+                # results
                 print(f"{scene}: TRAIN FAILED rc={tr.returncode}")
                 results[scene] = {"error": tr.stderr[-500:]}
+                save()
                 continue
         res = subprocess.run(
             [sys.executable, os.path.join(root, "run.py"), "--type",
@@ -96,10 +121,9 @@ def main():
                 metrics["fps"] = float(line.split()[-1])
         results[scene] = metrics or {"error": res.stderr[-500:]}
         print(scene, results[scene])
+        save()  # atomic write after EVERY scene (outage-proof)
 
-    os.makedirs(os.path.dirname(os.path.join(root, args.out)), exist_ok=True)
-    with open(os.path.join(root, args.out), "w") as f:
-        json.dump(results, f, indent=2)
+    save()
     print("wrote", args.out)
 
 

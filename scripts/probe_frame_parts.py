@@ -158,7 +158,8 @@ def main():
                 - (d["coarse"] - d["coarse-null"]), 4),
             "full": d["full"],
         }, indent=2))
-    out_p = os.path.join(ROOT, "result", "probe_frame_parts.json")
+    out_p = os.environ.get(
+        "PROBE_OUT", os.path.join(ROOT, "result", "probe_frame_parts.json"))
     with open(out_p, "w") as f:
         json.dump(results, f, indent=2)
     print("wrote", out_p)

@@ -28,9 +28,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # smoke runs with a custom scene root keep their logs there, away from
 # the real result/quality_run.jsonl
 _BASE = os.environ.get("QR_SCENE_ROOT", os.path.join(ROOT, "data"))
-OUT = (os.path.join(ROOT, "result", "quality_run.jsonl")
-       if _BASE.startswith(ROOT) else
-       os.path.join(_BASE, "quality_run.jsonl"))
+OUT = os.environ.get("QR_OUT") or (
+    os.path.join(ROOT, "result", "quality_run.jsonl")
+    if _BASE.startswith(ROOT) else
+    os.path.join(_BASE, "quality_run.jsonl"))
 
 
 def emit(rec):
