@@ -150,11 +150,15 @@ def run_evaluate():
         renderer.use_apply(ngp_apply)
         print("ngp eval-encode kernel: enabled")
 
-    # task_arg.fast_render: occupancy-raymarch frame path for NGP nets
-    # (instant-ngp eval semantics; quality bound by the occupancy grid,
-    # see ngp_renderer.py). Falls back silently for non-NGP nets.
+    # task_arg.fast_render: occupancy-raymarch frame path (instant-ngp
+    # eval semantics; quality bound by the occupancy grid, see
+    # ngp_renderer.py). The frame renderer is model-agnostic: NGP nets
+    # ride the fused eval kernel, every other net (e.g. the 8x256
+    # frequency flagship) rides its renderer apply (fused Pallas MLP
+    # when network.use_pallas_mlp is set).
     frame_fn = None
-    if ngp_apply is not None and bool(cfg.task_arg.get("fast_render", 0)):
+    fast_apply = ngp_apply if ngp_apply is not None else renderer.apply_fn
+    if bool(cfg.task_arg.get("fast_render", 0)):
         import jax
         import jax.numpy as jnp
 
@@ -168,8 +172,8 @@ def run_evaluate():
             cfg.task_arg.get("density_activation", "relu"))
 
         def density_fn(p, pts):
-            return act(ngp_apply(p, pts[:, None, :],
-                                 jnp.zeros((1, 1, 3)), "fine")[:, 0, 3])
+            return act(fast_apply(p, pts[:, None, :],
+                                  jnp.zeros((1, 1, 3)), "fine")[:, 0, 3])
 
         grid, bbox = build_occupancy_grid(
             density_fn, params,
@@ -193,7 +197,7 @@ def run_evaluate():
 
         def make_frame(H, W, focal):
             return make_ngp_frame_renderer(
-                ngp_apply, H, W, focal, (grid, bbox, 2), _settings,
+                fast_apply, H, W, focal, (grid, bbox, 2), _settings,
                 n_candidates=int(cfg.task_arg.get("fast_candidates", 32)),
                 n_coarse=int(cfg.task_arg.get("fast_coarse", 16)),
                 n_fine=int(cfg.task_arg.get("fast_fine", 16)),

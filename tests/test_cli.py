@@ -105,6 +105,28 @@ def test_train_test_mode(workdir):
     assert "val:" in r.stdout
 
 
+def test_evaluate_fast_render_freq(workdir):
+    """fast_render is model-agnostic: the occupancy-raymarch frame path
+    must also drive a frequency-encoder net (no NGP eval kernel), riding
+    the renderer's XLA apply instead."""
+    r = _run(["train.py", "--cfg_file", "probe.yaml"], workdir,
+             timeout=400)
+    assert r.returncode == 0, r.stderr[-800:]
+    r = _run(["run.py", "--type", "evaluate", "--cfg_file", "probe.yaml",
+              "task_arg.fast_render", "1",
+              "task_arg.occ_resolution", "16",
+              "task_arg.occ_sel_resolution", "32",
+              "task_arg.fast_candidates", "8",
+              "task_arg.fast_coarse", "4",
+              "task_arg.fast_fine", "4",
+              "task_arg.fast_capacity", "0.9",
+              "task_arg.fast_occ_capacity", "0.9"],
+             workdir, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "occupancy grid" in r.stdout
+    assert "'psnr'" in r.stdout
+
+
 @pytest.fixture(scope="module")
 def ngp_workdir(tmp_path_factory):
     """Brick-NGP variant of the CLI scene for the fast_render path."""
