@@ -625,6 +625,21 @@ def _raymarch_bench(watchdog, cfg, net, params, settings, apply_fn,
     probe_sub = os.environ.get("BENCH_PROBE_SUB", "auto")
     probe_sub = probe_sub if probe_sub == "auto" else int(probe_sub)
     probe_stride = int(os.environ.get("BENCH_PROBE_STRIDE", "2"))
+    # ladder cache: start from the last passing step for this checkpoint
+    # + geometry, skipping the failed lower steps entirely (each ladder
+    # step is a fresh ~minutes-long remote compile through the tunnel).
+    # The gate is still verified every run — only the walk is skipped.
+    lad_cache = _cache_path("ladder", ckpt, ck_mtime, H, W, family)
+    lcached = _cache_load(lad_cache)
+    if lcached is not None:
+        c0 = tuple(int(v) for v in lcached["cmf"])
+        ladder = [c0] + [s for s in ladder if s != c0]
+        capacity = float(lcached["cap"])
+        occ_cap = float(lcached["ocap"])
+        fc = float(lcached["fcap"])
+        fine_cap = None if fc < 0 else fc
+        log(f"ladder cache: starting at C,M,F={c0} (caps "
+            f"{capacity:.2f}/{occ_cap:.2f}/{fc:.2f})")
     for C, M, F in ladder:
         def build(cap, fcap, ocap, C=C, M=M, F=F):
             return make_ngp_frame_renderer(
@@ -695,6 +710,9 @@ def _raymarch_bench(watchdog, cfg, net, params, settings, apply_fn,
         return
     log(f"ngp gate PASSED at C,M,F={chosen[:3]} "
         f"({chosen[3]:.1f} dB vs dense frame)")
+    _cache_save(lad_cache, cmf=np.asarray(chosen[:3], np.int32),
+                cap=capacity, ocap=occ_cap,
+                fcap=-1.0 if fine_cap is None else fine_cap)
 
     apply16 = None
     if (bf16_builder is not None
