@@ -57,18 +57,41 @@ def main():
     fcap = float(os.environ.get("PROBE_FCAP", "0.23"))
     ocap = float(os.environ.get("PROBE_OCAP", "0")) or None
 
-    cfg = load_cfg_tree(os.path.join(ROOT, "configs/nerf/hard_ngp.yaml"),
-                        default_cfg())
-    ckpt = os.environ.get(
-        "BENCH_NGP_CKPT", os.path.join(ROOT, "data/pretrain/hard_ngp_b9"))
-    params = jax.tree.map(jnp.asarray, load_pretrain(ckpt))
-    rows = params["params"]["xyz_encoder"]["table"].shape[0]
-    bricks = bench._detect_bricks(rows, cfg.network.xyz_encoder)
-    cfg.network.xyz_encoder["log2_bricks"] = bricks
-    net = make_network(cfg)
-    apply_fn = make_ngp_eval_apply(net, params, mxu_max_rows=2048)
-    settings = dataclasses.replace(
-        RenderSettings.from_cfg(cfg), ray_chunk=8000, fast_sampling=False)
+    family = os.environ.get("PROBE_FAMILY", "ngp")
+    if family == "freq":
+        # frequency flagship through the same raymarch machinery
+        # (bench.py BENCH_MODEL=freq_rm): fused Pallas MLP apply
+        from nerf_replication_tpu.models.nerf.renderer.volume_renderer \
+            import Renderer
+
+        cfg = load_cfg_tree(os.path.join(ROOT, "configs/nerf/hard.yaml"),
+                            default_cfg())
+        ckpt = os.environ.get(
+            "BENCH_FREQ_CKPT", os.path.join(ROOT, "data/pretrain/hard"))
+        params = jax.tree.map(jnp.asarray, load_pretrain(ckpt))
+        bricks = "freq"
+        net = make_network(cfg)
+        settings = dataclasses.replace(
+            RenderSettings.from_cfg(cfg), ray_chunk=8000,
+            fast_sampling=False)
+        renderer = Renderer(net, settings=settings, mesh=None)
+        if os.environ.get("BENCH_PALLAS", "1") == "1":
+            print("fused pallas MLP:", renderer.enable_fused_mlp(params))
+        apply_fn = renderer.apply_fn
+    else:
+        cfg = load_cfg_tree(os.path.join(ROOT, "configs/nerf/hard_ngp.yaml"),
+                            default_cfg())
+        ckpt = os.environ.get(
+            "BENCH_NGP_CKPT", os.path.join(ROOT, "data/pretrain/hard_ngp_b9"))
+        params = jax.tree.map(jnp.asarray, load_pretrain(ckpt))
+        rows = params["params"]["xyz_encoder"]["table"].shape[0]
+        bricks = bench._detect_bricks(rows, cfg.network.xyz_encoder)
+        cfg.network.xyz_encoder["log2_bricks"] = bricks
+        net = make_network(cfg)
+        apply_fn = make_ngp_eval_apply(net, params, mxu_max_rows=2048)
+        settings = dataclasses.replace(
+            RenderSettings.from_cfg(cfg), ray_chunk=8000,
+            fast_sampling=False)
     act = density_activation(settings.density_activation)
 
     def density_fn(p, pts):
@@ -102,8 +125,12 @@ def main():
     settings = dataclasses.replace(
         settings,
         ray_chunk=int(os.environ.get("PROBE_CHUNK", settings.ray_chunk)))
-    print(f"C,M,F={C},{M},{F} chunk={settings.ray_chunk} "
-          f"sel={select_occupancy is not None} cap={cap}/{fcap}")
+    psub = os.environ.get("PROBE_PSUB", "auto")
+    psub = psub if psub == "auto" else int(psub)
+    pstride = int(os.environ.get("PROBE_PSTRIDE", "2"))
+    print(f"family={family} C,M,F={C},{M},{F} chunk={settings.ray_chunk} "
+          f"sel={select_occupancy is not None} cap={cap}/{fcap} "
+          f"probe={psub}/{pstride}")
 
     focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
     pose = jnp.asarray(bench.orbit_poses(4)[0])
@@ -129,7 +156,8 @@ def main():
             occupancy=occupancy, s=settings, n_candidates=C, n_coarse=M,
             n_fine=F, capacity=cap, fine_capacity=fcap,
             out_dtype=jnp.float32, stage=v["stage"],
-            select_occupancy=select_occupancy, occ_capacity=ocap)
+            select_occupancy=select_occupancy, occ_capacity=ocap,
+            probe_sub=psub, probe_stride=pstride)
         # device-fenced: reduce on device, fetch 4 bytes (a full-frame
         # f32 fetch through the tunnel costs ~300+ ms and would swamp
         # every variant)

@@ -57,6 +57,13 @@ stage "frame strip profile" result/probe_parts_r4.json - 2400 \
   PROBE_OUT=result/probe_parts_r4.json \
   python scripts/probe_frame_parts.py
 
+# 2b. strip profile of the freq_rm raymarch frame (where does the
+#     machinery-bound frame go once the field eval is ~free?)
+stage "freq_rm strip profile" result/probe_parts_freq_r4.json - 2400 \
+  env PROBE_FAMILY=freq PROBE_CMF=32,10,10 PROBE_SEL=1 PROBE_OCAP=0.25 \
+  PROBE_FCAP=0.23 PROBE_OUT=result/probe_parts_freq_r4.json \
+  python scripts/probe_frame_parts.py
+
 # 3. fused-MLP train ablation (VERDICT r3 item 5)
 stage "fused-MLP train ablation" result/abl_train_mlp.json - 2400 \
   python scripts/abl_train_mlp.py
