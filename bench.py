@@ -429,9 +429,12 @@ def run_freq_raymarch(watchdog):
         return run_freq(watchdog)
     params = jax.tree.map(jnp.asarray, trained)
     net = make_network(cfg)
+    # the raymarch path carries ~10 samples/ray (vs the NGP dense path's
+    # 192 that forced the 8k tile), so the flagship 40k ray tile fits
     settings = dataclasses.replace(
         RenderSettings.from_cfg(cfg),
-        ray_chunk=int(os.environ.get("BENCH_RAY_CHUNK", "8000")),
+        ray_chunk=int(os.environ.get(
+            "BENCH_RAY_CHUNK", cfg.task_arg.get("ray_chunk", 40000))),
         fast_sampling=False)
     renderer = Renderer(net, settings=settings, mesh=None)
     if os.environ.get("BENCH_PALLAS", "1") == "1":

@@ -122,6 +122,7 @@ def main():
                      "step": payload["scheduler"].get("step", 0)}
             start_epoch = payload["epoch"] + 1
             print(f"resumed from epoch {payload['epoch']}", flush=True)
+    step0 = int(state["step"])
 
     train_ds = Dataset(cfg, **{**cfg.train_dataset, "split": "train"})
     images, poses, K = train_ds.as_arrays()
@@ -197,8 +198,13 @@ def main():
             os.path.join(ROOT, "result", scene, f"test{i}_pred.png"))
         emit({"test_view": i, "psnr": round(psnrs[-1], 2),
               "ssim": round(float(ssims[-1]), 4)})
+    n_rays = int(ta.get("N_rays", 1024))
     emit({"event": "final", "train_s": round(train_s, 1),
           "steps": int(state["step"]),
+          # rays/s over THIS run's steps (resume keeps the global step
+          # counter but train_s only covers this process)
+          "rays_per_s": round((int(state["step"]) - step0) * n_rays
+                              / max(train_s, 1e-9), 1),
           "test_psnr": round(float(np.mean(psnrs)), 2),
           "test_ssim": round(float(np.mean(ssims)), 4)})
 
