@@ -27,6 +27,12 @@ def honor_jax_platforms_env():
 def enable_compile_cache(path: str | None = None):
     import jax
 
+    # every CLI/script funnels through here before first device use, so
+    # honoring an explicit JAX_PLATFORMS at this single point keeps
+    # CPU-mode runs (smokes, tests) from dialing the TPU tunnel even
+    # under the sitecustomize hook that force-sets jax_platforms
+    honor_jax_platforms_env()
+
     path = path or os.environ.get("JAX_CACHE_DIR", _DEFAULT)
     try:
         # CPU AOT cache entries embed machine-feature flags that differ

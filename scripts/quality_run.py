@@ -168,6 +168,12 @@ def main():
             psnr, pred = val_psnr(unwrap(state))
             emit({"epoch": epoch, "step": int(state["step"]),
                   "train_s": round(train_s, 1), "val_psnr": round(psnr, 2)})
+            # checkpoint at every val so a mid-run tunnel outage loses at
+            # most val_every epochs (QR_RESUME=1 picks this up)
+            save_model(unwrap(state), state["opt_state"],
+                       {"step": int(state["step"])},
+                       recorder.state_dict(), epoch,
+                       cfg.trained_model_dir, latest=True)
         epoch += 1
 
     # persist: full checkpoint + small params-only warm start for bench
