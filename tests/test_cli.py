@@ -201,3 +201,20 @@ def test_eval_scenes_survives_scene_failure(workdir, tmp_path):
     table = json.loads((workdir / str(out)).read_text()
                        if not out.is_absolute() else out.read_text())
     assert "error" in table["nosuchscene"]
+
+
+def test_eval_scenes_resumes_partial_sweep(workdir, tmp_path):
+    """Re-entrancy: finished scenes are kept and skipped, error rows are
+    retried, and the table persists after every scene (a mid-queue
+    outage preserves completed work)."""
+    out = tmp_path / "sweep.json"
+    out.write_text(json.dumps({"alpha": {"psnr": 33.3},
+                               "beta": {"error": "old failure"}}))
+    r = _run(["scripts/eval_scenes.py", "--scenes", "alpha", "beta",
+              "--base_cfg", "configs/nerf/sweep_ngp.yaml", "--train",
+              "--out", str(out)], workdir, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "skip alpha" in r.stdout
+    table = json.loads(out.read_text())
+    assert table["alpha"] == {"psnr": 33.3}          # kept, not re-run
+    assert table["beta"].get("error") != "old failure"  # retried
