@@ -64,6 +64,11 @@ stage "freq_rm strip profile" result/probe_parts_freq_r4.json - 2400 \
   PROBE_FCAP=0.23 PROBE_OUT=result/probe_parts_freq_r4.json \
   python scripts/probe_frame_parts.py
 
+# 2c. fused-kernel micro-sweep: blk x bf16 x combined-gather (is the
+#     Mosaic gather cost per-call? then blk=4096 amortizes it 4x)
+stage "fused kernel sweep" result/probe_fused_r4.log "blk=4096 bf16=1 cg=1" 2400 \
+  sh -c 'python scripts/probe_fused.py > result/probe_fused_r4.log 2>&1'
+
 # 3. fused-MLP train ablation (VERDICT r3 item 5)
 stage "fused-MLP train ablation" result/abl_train_mlp.json - 2400 \
   python scripts/abl_train_mlp.py
