@@ -74,6 +74,11 @@ class _TeeStderr:
         self._orig.flush()
         self._f.flush()
 
+    def __getattr__(self, name):
+        # isatty/fileno/encoding/...: libraries that probe stderr
+        # (warnings, absl, tqdm) must see a full file-like object
+        return getattr(self._orig, name)
+
 
 def _emit_obj(obj):
     """Print the metric line AND persist it to result/ unconditionally."""
@@ -124,19 +129,24 @@ def _last_good_metric():
                 best, best_mtime = obj, os.path.getmtime(p)
         except (OSError, ValueError):
             continue
+    if best is not None:
+        best = {**best, "_mtime": best_mtime}
     return best
 
 
 def _emit_stale(reason):
+    """No-measurement emission: the PRIMARY metric fields are always
+    0.0 so no consumer can mistake a dead-tunnel run for a measurement;
+    the newest committed good number rides along in last_good_* keys
+    for humans/tools that want context (ADVICE r4)."""
+    obj = {"metric": "render_fps_800x800", "value": 0.0, "unit": "fps",
+           "vs_baseline": 0.0, "stale": True, "stale_reason": reason}
     last = _last_good_metric()
-    if last is None:
-        _emit_obj({"metric": "render_fps_800x800", "value": 0.0,
-                   "unit": "fps", "vs_baseline": 0.0, "stale": True,
-                   "stale_reason": reason})
-    else:
-        _emit_obj({**{k: last[k] for k in
-                      ("metric", "value", "unit", "vs_baseline")},
-                   "stale": True, "stale_reason": reason})
+    if last is not None:
+        obj["last_good_value"] = last.get("value", 0.0)
+        obj["last_good_vs_baseline"] = last.get("vs_baseline", 0.0)
+        obj["last_good_ts"] = last.get("_mtime", 0.0)
+    _emit_obj(obj)
     log(f"bench: STALE metric emitted ({reason})")
 
 
@@ -150,10 +160,15 @@ def _arm_watchdog():
     timeout = float(os.environ.get("BENCH_TIMEOUT", "1200"))
 
     def fire():
-        _emit_stale(f"watchdog: no result after {timeout:.0f}s "
-                    "(device or tunnel unresponsive)")
-        print("bench watchdog: aborting", file=sys.stderr, flush=True)
-        os._exit(3)
+        # os._exit must run even if the stale emission itself raises —
+        # a dead timer thread would defeat the watchdog's sole purpose
+        try:
+            _emit_stale(f"watchdog: no result after {timeout:.0f}s "
+                        "(device or tunnel unresponsive)")
+            print("bench watchdog: aborting", file=sys.stderr,
+                  flush=True)
+        finally:
+            os._exit(3)
 
     t = threading.Timer(timeout, fire)
     t.daemon = True

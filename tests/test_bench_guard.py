@@ -76,13 +76,17 @@ def test_last_good_skips_cpu_smokes(bench_env):
     assert best is not None and best["value"] == 1.705
 
 
-def test_emit_stale_replays_last_good(bench_env, capsys):
+def test_emit_stale_zeroes_primary_carries_last_good(bench_env, capsys):
+    """ADVICE r4: a stale emission must be unmistakable — primary
+    value/vs_baseline are 0.0; the old number rides in last_good_*."""
     _write_metric(bench_env / "result" / "bench_prev.json", 1.705,
                   gate={"kind": "gt-drop"})
     bench._emit_stale("tunnel down")
     obj = json.loads(capsys.readouterr().out.strip())
     assert obj["stale"] is True
-    assert obj["value"] == 1.705
+    assert obj["value"] == 0.0 and obj["vs_baseline"] == 0.0
+    assert obj["last_good_value"] == 1.705
+    assert obj["last_good_ts"] > 0
     assert obj["stale_reason"] == "tunnel down"
 
 
@@ -90,6 +94,7 @@ def test_emit_stale_zero_when_no_history(bench_env, capsys):
     bench._emit_stale("tunnel down")
     obj = json.loads(capsys.readouterr().out.strip())
     assert obj["value"] == 0.0 and obj["stale"] is True
+    assert "last_good_value" not in obj
 
 
 def test_main_bails_on_backend_failure(bench_env, monkeypatch, capsys):
@@ -98,7 +103,8 @@ def test_main_bails_on_backend_failure(bench_env, monkeypatch, capsys):
     monkeypatch.setattr(bench, "_probe_backend", lambda: None)
     bench.main()
     obj = json.loads(capsys.readouterr().out.strip())
-    assert obj["stale"] is True and obj["value"] == 1.764
+    assert obj["stale"] is True and obj["value"] == 0.0
+    assert obj["last_good_value"] == 1.764
 
 
 def test_main_bails_on_implicit_cpu_fallback(bench_env, monkeypatch,
@@ -125,6 +131,26 @@ def test_main_allows_explicit_cpu(bench_env, monkeypatch):
                         lambda watchdog: ran.setdefault("freq", True))
     bench.main()
     assert ran.get("freq")
+
+
+def test_tee_stderr_delegates_stream_api(bench_env):
+    """Libraries probe isatty()/encoding/fileno on stderr (warnings,
+    absl, tqdm); the tee must expose the full file API (ADVICE r4)."""
+    tee = bench._TeeStderr(str(bench_env / "result" / "tee.log"))
+    assert tee.isatty() == sys.stderr.isatty()
+    assert tee.encoding == sys.stderr.encoding
+    tee.write("x")
+    tee.flush()
+
+
+def test_watchdog_fire_always_exits():
+    """The watchdog body must reach os._exit even if the stale emission
+    raises (ADVICE r4): a dead timer thread would hang the driver."""
+    src = open(os.path.join(os.path.dirname(bench.__file__),
+                            "bench.py")).read()
+    i = src.index("def fire():")
+    body = src[i:src.index("t = threading.Timer")]
+    assert "finally:" in body and "os._exit(3)" in body
 
 
 def test_watchdog_default_below_driver_timeout(monkeypatch):
