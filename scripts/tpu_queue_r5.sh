@@ -1,0 +1,125 @@
+#!/bin/bash
+# Round-5 serialized TPU job queue (one client at a time on the
+# tunneled chip). RE-ENTRANT: each stage is skipped when its artifact
+# already exists and looks complete, so a mid-queue tunnel outage
+# preserves finished stages and a re-run resumes where it left off.
+# Ordered cheapest-first so early results land even if a later job
+# wedges the tunnel.
+#
+# ADVICE r4 fixes vs the r4 queue:
+# - every bench stage pins BENCH_MODEL explicitly (the best-mode hint
+#   can no longer redirect a family stage to another family);
+# - the stage-skip check also rejects dense-fallback emissions (a
+#   failed-gate bench is retried on the next pass, matching bench.py's
+#   own _last_good_metric exclusion).
+cd /root/repo || exit 1
+mkdir -p result
+
+# the tunneled chip admits ONE client; even CPU-mode python processes
+# dial the relay here. Wait (up to 30 min) for quiet before starting.
+for _ in $(seq 1 90); do
+  if ! pgrep -x python >/dev/null && ! pgrep -x python3 >/dev/null; then
+    break
+  fi
+  sleep 20
+done
+
+# stage <name> <artifact> <done-marker|-> <timeout_s> <cmd...>
+#   skips when artifact exists non-empty, matches the done marker
+#   ("-" = mere existence), is not a stale bench emission, and is not
+#   a dense-fallback (failed-gate) emission
+stage() {
+  local name=$1 art=$2 marker=$3 to=$4
+  shift 4
+  if [ -s "$art" ] \
+      && { [ "$marker" = "-" ] || grep -q "$marker" "$art" 2>/dev/null; } \
+      && ! grep -q '"stale": true' "$art" 2>/dev/null \
+      && ! grep -q '"kind": "dense-fallback"' "$art" 2>/dev/null; then
+    echo "=== $name: $art complete, skipping ==="
+    return 0
+  fi
+  echo "=== $name ==="
+  timeout "$to" "$@"
+  local rc=$?
+  if [ $rc -ne 0 ]; then
+    echo "stage $name: rc=$rc (artifact may be partial; re-run resumes)"
+  fi
+  return $rc
+}
+
+# 1. headline NGP bench — BENCH_MODEL pinned (ADVICE r4): this stage
+#    must produce the NGP artifact regardless of any best-mode hint
+stage "ngp bench (headline)" result/bench_ngp_r5.json render_fps 3900 \
+  env BENCH_TAG=r5 BENCH_MODEL=ngp BENCH_TIMEOUT=3600 python bench.py
+
+# 1b. freq flagship through the occupancy-raymarch path
+stage "freq raymarch bench" result/bench_freq_rm_r5.json render_fps 3900 \
+  env BENCH_TAG=r5 BENCH_MODEL=freq_rm BENCH_TIMEOUT=3600 python bench.py
+
+# 2. frame strip profile with the r3-authored optimizations
+stage "frame strip profile" result/probe_parts_r5.json - 2400 \
+  env PROBE_CMF=32,14,12 PROBE_SEL=1 PROBE_OCAP=0.25 PROBE_FCAP=0.23 \
+  PROBE_OUT=result/probe_parts_r5.json \
+  python scripts/probe_frame_parts.py
+
+# 2b. strip profile of the freq_rm raymarch frame
+stage "freq_rm strip profile" result/probe_parts_freq_r5.json - 2400 \
+  env PROBE_FAMILY=freq PROBE_CMF=32,10,10 PROBE_SEL=1 PROBE_OCAP=0.25 \
+  PROBE_FCAP=0.23 PROBE_OUT=result/probe_parts_freq_r5.json \
+  python scripts/probe_frame_parts.py
+
+# 2c. fused-kernel micro-sweep: blk x bf16 x combined-gather
+stage "fused kernel sweep" result/probe_fused_r5.log "blk=4096 bf16=1 cg=1" 2400 \
+  sh -c 'python scripts/probe_fused.py > result/probe_fused_r5.log 2>&1'
+
+# 3. fused-MLP train ablation (VERDICT r3 item 5 / r4 item 6)
+stage "fused-MLP train ablation" result/abl_train_mlp.json - 2400 \
+  python scripts/abl_train_mlp.py
+
+# 4. freq bench refresh
+stage "freq bench" result/bench_freq_r5.json render_fps 2400 \
+  env BENCH_TAG=r5 BENCH_MODEL=freq BENCH_TIMEOUT=2100 python bench.py
+
+# 5. train headline: time-to-30dB on med at 800^2 (NGP + freq);
+#    QR_RESUME lets an interrupted run continue from its checkpoint
+stage "quality run (ngp b9)" result/quality_r5_ngp.jsonl '"event": "final"' 3600 \
+  env QR_OUT=result/quality_r5_ngp.jsonl QR_CFG=configs/nerf/hard_ngp.yaml \
+  QR_SCENE=med QR_BRICKS=9 QR_MINUTES=12 QR_RESUME=1 \
+  python scripts/quality_run.py
+stage "quality run (freq)" result/quality_r5_freq.jsonl '"event": "final"' 7200 \
+  env QR_OUT=result/quality_r5_freq.jsonl QR_CFG=configs/nerf/hard.yaml \
+  QR_SCENE=med QR_MINUTES=30 QR_RESUME=1 \
+  python scripts/quality_run.py
+
+# 6. 8-scene sweep (longest; runs last). eval_scenes is itself
+# re-entrant (skips swept scenes, retries error rows, saves after every
+# scene) so the stage always runs — a complete sweep no-ops in seconds.
+echo "=== 8-scene sweep ==="
+timeout 14000 python scripts/eval_scenes.py \
+  --base_cfg configs/nerf/sweep_ngp.yaml \
+  --train --generate 200 --views 40 --out result/scene_sweep.json
+
+# 7. record the fastest gated family so the driver's plain
+#    `python bench.py` reports it (bench.py main() reads this hint)
+python - <<'EOF'
+import json
+best, mode = 0.0, None
+for m in ("ngp", "freq", "freq_rm"):
+    try:
+        with open(f"result/bench_{m}_r5.json") as f:
+            o = json.loads(f.readline())
+        if (not o.get("stale")
+                and o.get("gate", {}).get("kind") != "dense-fallback"
+                and float(o.get("value", 0)) > best):
+            best, mode = float(o["value"]), m
+    except (OSError, ValueError):
+        pass
+if mode:
+    with open("result/bench_best_mode.txt", "w") as f:
+        f.write(mode + "\n")
+print("best mode:", mode, best)
+EOF
+
+echo "=== queue done ==="
+ls -la result/bench_*r5* result/abl_train_mlp.json result/scene_sweep.json \
+  result/quality_r5_*.jsonl 2>/dev/null
