@@ -647,7 +647,12 @@ def _raymarch_bench(watchdog, cfg, net, params, settings, apply_fn,
     # + geometry, skipping the failed lower steps entirely (each ladder
     # step is a fresh ~minutes-long remote compile through the tunnel).
     # The gate is still verified every run — only the walk is skipped.
-    lad_cache = _cache_path("ladder", ckpt, ck_mtime, H, W, family)
+    # key includes the probe/selection/autocap knobs: a ladder step (and
+    # its measured caps) that passed under one acceleration setting must
+    # not seed a run under another
+    lad_cache = _cache_path(
+        "ladder", ckpt, ck_mtime, H, W, family, probe_sub, probe_stride,
+        sel_res, os.environ.get("BENCH_AUTOCAP", "1"))
     lcached = _cache_load(lad_cache)
     if lcached is not None:
         c0 = tuple(int(v) for v in lcached["cmf"])

@@ -101,12 +101,20 @@ def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512,
     bounds = tuple(enc.bounds) if enc.bounds else None
     dir_enc = net.dir_encoder
 
+    # NGP_EVAL_XLA=1 routes the encode through the pure-XLA brick oracle
+    # (hashgrid_kernel.brick_encode_reference) instead of the Pallas
+    # kernels — bit-identical brick semantics, fast on CPU (interpret
+    # mode is not), used by the CPU gate-repro harness
+    # (scripts/gate_repro.py) and any off-TPU validation run.
+    oracle = _os.environ.get("NGP_EVAL_XLA", "0") == "1"
+
     # fully-fused encode+MLP kernel (ops/pallas/fused_ngp.py) when the
     # network fits its supported shape; NGP_FUSED=0 forces the unfused
     # encode-kernel + XLA-MLP chain (A/B + fallback knob)
     L = len(layout.scales)
     fusable = (
-        _os.environ.get("NGP_FUSED", "1") == "1"
+        not oracle
+        and _os.environ.get("NGP_FUSED", "1") == "1"
         and 8 * L <= 128
         and all(layout.offsets[l + 1] - layout.offsets[l] <= max(
             mxu_max_rows, 512) for l in range(L))
@@ -148,8 +156,12 @@ def make_ngp_eval_apply(net, params, mxu_max_rows: int = 512,
                                  blk=blk, mlp_bf16=fused_bf16,
                                  combined_gather=fused_cgather)
             return raw.reshape(*shape, 4)
-        feat = brick_encode_eval(layout, packed, x,
-                                 mxu_max_rows=mxu_max_rows, blk=blk)
+        if oracle:
+            feat = hk.brick_encode_reference(
+                layout, jnp.asarray(table, jnp.float32), x)
+        else:
+            feat = brick_encode_eval(layout, packed, x,
+                                     mxu_max_rows=mxu_max_rows, blk=blk)
         view_feat = None
         if net.use_viewdirs and viewdirs is not None:
             dirs = jnp.broadcast_to(viewdirs, shape + (viewdirs.shape[-1],))

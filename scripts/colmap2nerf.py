@@ -132,15 +132,31 @@ def main():
     w, h = float(cam.width), float(cam.height)
     name = cam.model
     p = cam.params
+    k1 = k2 = k3 = k4 = p1 = p2 = 0.0
+    is_fisheye = False
     if name == "SIMPLE_PINHOLE":
-        fl_x = fl_y = p[0]; cx, cy = p[1], p[2]; k1 = k2 = p1 = p2 = 0.0
+        fl_x = fl_y = p[0]; cx, cy = p[1], p[2]
     elif name == "PINHOLE":
-        fl_x, fl_y, cx, cy = p[:4]; k1 = k2 = p1 = p2 = 0.0
+        fl_x, fl_y, cx, cy = p[:4]
     elif name in ("SIMPLE_RADIAL", "RADIAL"):
         fl_x = fl_y = p[0]; cx, cy = p[1], p[2]
-        k1 = p[3]; k2 = p[4] if name == "RADIAL" else 0.0; p1 = p2 = 0.0
+        k1 = p[3]; k2 = p[4] if name == "RADIAL" else 0.0
     elif name in ("OPENCV", "FULL_OPENCV"):
         fl_x, fl_y, cx, cy, k1, k2, p1, p2 = p[:8]
+        if name == "FULL_OPENCV":
+            k3, k4 = p[8], p[9]
+    # fisheye models (reference scripts/colmap2nerf.py:251-269): same
+    # COLMAP parameter orders, equidistant-projection distortion —
+    # flagged is_fisheye so consumers undistort with the fisheye model
+    elif name == "SIMPLE_RADIAL_FISHEYE":
+        is_fisheye = True
+        fl_x = fl_y = p[0]; cx, cy = p[1], p[2]; k1 = p[3]
+    elif name == "RADIAL_FISHEYE":
+        is_fisheye = True
+        fl_x = fl_y = p[0]; cx, cy = p[1], p[2]; k1, k2 = p[3], p[4]
+    elif name == "OPENCV_FISHEYE":
+        is_fisheye = True
+        fl_x, fl_y, cx, cy, k1, k2, k3, k4 = p[:8]
     else:
         raise RuntimeError(f"unsupported camera model {name}")
 
@@ -188,7 +204,8 @@ def main():
         "camera_angle_x": angle_x,
         "camera_angle_y": angle_y,
         "fl_x": fl_x, "fl_y": fl_y, "cx": cx, "cy": cy, "w": w, "h": h,
-        "k1": k1, "k2": k2, "p1": p1, "p2": p2,
+        "k1": k1, "k2": k2, "k3": k3, "k4": k4, "p1": p1, "p2": p2,
+        "is_fisheye": is_fisheye,
         "aabb_scale": args.aabb_scale,
         "frames": frames,
     }

@@ -100,6 +100,53 @@ def test_colmap2nerf_end_to_end(tmp_path):
     np.testing.assert_allclose(np.mean(d), 4.0, rtol=0.25)
 
 
+@pytest.mark.parametrize("model,params,want", [
+    # COLMAP fisheye parameter orders (reference colmap2nerf.py:251-269)
+    ("SIMPLE_RADIAL_FISHEYE", [70.0, 32.0, 24.0, 0.03],
+     {"fl_x": 70.0, "fl_y": 70.0, "cx": 32.0, "cy": 24.0, "k1": 0.03,
+      "k2": 0.0, "k3": 0.0, "k4": 0.0}),
+    ("RADIAL_FISHEYE", [70.0, 32.0, 24.0, 0.03, -0.01],
+     {"fl_x": 70.0, "fl_y": 70.0, "cx": 32.0, "cy": 24.0, "k1": 0.03,
+      "k2": -0.01, "k3": 0.0, "k4": 0.0}),
+    ("OPENCV_FISHEYE", [70.0, 68.0, 32.0, 24.0, 0.03, -0.01, 0.002,
+                        -0.0005],
+     {"fl_x": 70.0, "fl_y": 68.0, "cx": 32.0, "cy": 24.0, "k1": 0.03,
+      "k2": -0.01, "k3": 0.002, "k4": -0.0005}),
+])
+def test_colmap2nerf_fisheye_models(tmp_path, model, params, want):
+    """Fisheye camera models convert with correct k1-k4 fields and the
+    is_fisheye flag (reference scripts/colmap2nerf.py:36,251-269)."""
+    sparse, imgdir, _ = _make_model(tmp_path)
+    from nerf_replication_tpu.utils.colmap.model_io import (
+        write_cameras_binary as _wcb,
+    )
+    _wcb({1: Camera(1, model, 64, 48, np.array(params))},
+         str(sparse / "cameras.bin"))
+    out = tmp_path / "transforms_fe.json"
+    _run_converter(["--text", str(sparse), "--images", str(imgdir),
+                    "--out", str(out), "--keep_colmap_coords"])
+    with open(out) as f:
+        meta = json.load(f)
+    assert meta["is_fisheye"] is True
+    for key, val in want.items():
+        np.testing.assert_allclose(meta[key], val, rtol=1e-9,
+                                   err_msg=f"{model}:{key}")
+    np.testing.assert_allclose(
+        meta["camera_angle_x"], 2 * np.arctan(32.0 / 70.0), rtol=1e-6)
+
+
+def test_colmap2nerf_pinhole_not_fisheye(tmp_path):
+    """Non-fisheye models keep is_fisheye False and zero k3/k4."""
+    sparse, imgdir, _ = _make_model(tmp_path)
+    out = tmp_path / "transforms.json"
+    _run_converter(["--text", str(sparse), "--images", str(imgdir),
+                    "--out", str(out), "--keep_colmap_coords"])
+    with open(out) as f:
+        meta = json.load(f)
+    assert meta["is_fisheye"] is False
+    assert meta["k3"] == 0.0 and meta["k4"] == 0.0
+
+
 def test_colmap2nerf_output_feeds_blender_loader(tmp_path):
     """The converter's transforms.json is consumable by the Blender
     dataset class (the real-capture ingestion contract)."""

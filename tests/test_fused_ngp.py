@@ -73,6 +73,24 @@ def test_fused_env_off_falls_back(monkeypatch):
                                atol=2e-3, rtol=2e-3)
 
 
+def test_eval_xla_oracle_matches_network(monkeypatch):
+    """NGP_EVAL_XLA=1 (the CPU gate-repro path) routes the encode
+    through the pure-XLA brick oracle; it must match the Flax network
+    exactly (same math, no bf16 table quantization)."""
+    monkeypatch.setenv("NGP_EVAL_XLA", "1")
+    net = make_network(_cfg(3, [1]))
+    params = init_params(net, jax.random.key(0))
+    apply_fn = make_ngp_eval_apply(net, params)
+    assert apply_fn is not None
+    pts = jax.random.uniform(jax.random.key(7), (5, 6, 3), jnp.float32,
+                             -1.0, 1.0)
+    dirs = jax.random.normal(jax.random.key(8), (5, 1, 3))
+    raw_ref = net.apply(params, pts, dirs, model="fine")
+    raw = apply_fn(params, pts, dirs, "fine")
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(raw_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_combined_gather_bitwise(monkeypatch):
     """The 256-lane combined corner gather (one take_along_axis per
     level over [f0 | f1]) must be BITWISE identical to the split
