@@ -123,3 +123,17 @@ EOF
 echo "=== queue done ==="
 ls -la result/bench_*r5* result/abl_train_mlp.json result/scene_sweep.json \
   result/quality_r5_*.jsonl 2>/dev/null
+
+# 8. auto-commit the evidence so a late tunnel window still lands in
+#    git even if the interactive session is out of turns (result/ is
+#    gitignored — force-add the specific artifacts)
+git add -f result/bench_ngp_r5.json result/bench_ngp_r5.log \
+  result/bench_freq_r5.json result/bench_freq_r5.log \
+  result/bench_freq_rm_r5.json result/bench_freq_rm_r5.log \
+  result/probe_parts_r5.json result/probe_parts_freq_r5.json \
+  result/probe_fused_r5.log result/abl_train_mlp.json \
+  result/quality_r5_ngp.jsonl result/quality_r5_freq.jsonl \
+  result/scene_sweep.json result/bench_best_mode.txt 2>/dev/null
+if ! git diff --cached --quiet; then
+  git commit -m "Round-5 TPU queue artifacts (auto-committed on queue completion)"
+fi
