@@ -17,10 +17,18 @@ mkdir -p result
 
 # the tunneled chip admits ONE client; even CPU-mode python processes
 # dial the relay here. Wait (up to 30 min) for quiet before starting.
+# The permanent tunnel keeper (/root/.tpu_init.py) is NOT a client —
+# exclude it, or the queue stalls the full 30 min on every launch.
+other_python_busy() {
+  for pid in $(pgrep -x python; pgrep -x python3); do
+    if ! tr '\0' ' ' < "/proc/$pid/cmdline" 2>/dev/null | grep -q 'tpu_init'; then
+      return 0
+    fi
+  done
+  return 1
+}
 for _ in $(seq 1 90); do
-  if ! pgrep -x python >/dev/null && ! pgrep -x python3 >/dev/null; then
-    break
-  fi
+  other_python_busy || break
   sleep 20
 done
 
