@@ -55,6 +55,15 @@ stage() {
   return $rc
 }
 
+# 0. retrain the NGP flagship checkpoint: data/pretrain/* (except the
+#    committed freq 'hard') did not survive the machine wipe, and every
+#    NGP stage below needs hard_ngp_b9. quality_run doubles as the
+#    time-to-PSNR artifact for the hard scene. Re-entrant via QR_RESUME.
+stage "ngp flagship train (hard b9)" data/pretrain/hard_ngp_b9/pretrain.ckpt - 3900 \
+  env QR_OUT=result/quality_r5_ngp_hard.jsonl QR_CFG=configs/nerf/hard_ngp.yaml \
+  QR_SCENE=hard QR_BRICKS=9 QR_MINUTES=12 QR_RESUME=1 \
+  python scripts/quality_run.py
+
 # 1. headline NGP bench — BENCH_MODEL pinned (ADVICE r4): this stage
 #    must produce the NGP artifact regardless of any best-mode hint
 stage "ngp bench (headline)" result/bench_ngp_r5.json render_fps 3900 \
@@ -141,6 +150,7 @@ git add -f result/bench_ngp_r5.json result/bench_ngp_r5.log \
   result/probe_parts_r5.json result/probe_parts_freq_r5.json \
   result/probe_fused_r5.log result/abl_train_mlp.json \
   result/quality_r5_ngp.jsonl result/quality_r5_freq.jsonl \
+  result/quality_r5_ngp_hard.jsonl \
   result/scene_sweep.json result/bench_best_mode.txt 2>/dev/null
 if ! git diff --cached --quiet; then
   git commit -m "Round-5 TPU queue artifacts (auto-committed on queue completion)"
