@@ -144,6 +144,10 @@ ls -la result/bench_*r5* result/abl_train_mlp.json result/scene_sweep.json \
 # 8. auto-commit the evidence so a late tunnel window still lands in
 #    git even if the interactive session is out of turns (result/ is
 #    gitignored — force-add the specific artifacts)
+# the committed freq checkpoint is the only one that survived this
+# round's machine wipe — commit the retrained NGP flagship too (the
+# brick-encoder params are ~MBs) so round 6 never re-trains to bench
+git add -f data/pretrain/hard_ngp_b9/pretrain.ckpt 2>/dev/null
 git add -f result/bench_ngp_r5.json result/bench_ngp_r5.log \
   result/bench_freq_r5.json result/bench_freq_r5.log \
   result/bench_freq_rm_r5.json result/bench_freq_rm_r5.log \
