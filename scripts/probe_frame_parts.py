@@ -68,7 +68,11 @@ def main():
                             default_cfg())
         ckpt = os.environ.get(
             "BENCH_FREQ_CKPT", os.path.join(ROOT, "data/pretrain/hard"))
-        params = jax.tree.map(jnp.asarray, load_pretrain(ckpt))
+        trained = load_pretrain(ckpt)
+        if trained is None:
+            sys.exit(f"probe_frame_parts: no checkpoint at {ckpt} -- "
+                     "train it first (scripts/quality_run.py)")
+        params = jax.tree.map(jnp.asarray, trained)
         bricks = "freq"
         net = make_network(cfg)
         settings = dataclasses.replace(
@@ -83,7 +87,11 @@ def main():
                             default_cfg())
         ckpt = os.environ.get(
             "BENCH_NGP_CKPT", os.path.join(ROOT, "data/pretrain/hard_ngp_b9"))
-        params = jax.tree.map(jnp.asarray, load_pretrain(ckpt))
+        trained = load_pretrain(ckpt)
+        if trained is None:
+            sys.exit(f"probe_frame_parts: no checkpoint at {ckpt} -- "
+                     "train it first (scripts/quality_run.py)")
+        params = jax.tree.map(jnp.asarray, trained)
         rows = params["params"]["xyz_encoder"]["table"].shape[0]
         bricks = bench._detect_bricks(rows, cfg.network.xyz_encoder)
         cfg.network.xyz_encoder["log2_bricks"] = bricks
