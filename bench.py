@@ -50,7 +50,7 @@ from nerf_replication_tpu.utils.compile_cache import (  # noqa: E402
 honor_jax_platforms_env()
 
 
-_TAG = os.environ.get("BENCH_TAG", "r4")
+_TAG = os.environ.get("BENCH_TAG", "r5")
 _JSON_PATHS = [os.path.join(ROOT, "result", f"bench_{_TAG}.json")]
 _LOG_PATH = os.path.join(ROOT, "result", f"bench_{_TAG}.log")
 
