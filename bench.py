@@ -632,7 +632,8 @@ def _raymarch_bench(watchdog, cfg, net, params, settings, apply_fn,
 
     ladder_env = os.environ.get(
         "BENCH_NGP_LADDER",
-        "16,8,6;24,10,8;32,10,10;32,14,12;40,16,14;48,20,16;64,32,24")
+        "16,8,6;24,10,8;32,10,10;32,12,10;32,12,12;32,14,12;"
+        "40,16,14;48,20,16;64,32,24")
     ladder = [tuple(int(v) for v in step.split(","))
               for step in ladder_env.split(";") if step]
     capacity = float(os.environ.get("BENCH_CAPACITY", "0.35"))
@@ -650,9 +651,12 @@ def _raymarch_bench(watchdog, cfg, net, params, settings, apply_fn,
     # key includes the probe/selection/autocap knobs: a ladder step (and
     # its measured caps) that passed under one acceleration setting must
     # not seed a run under another
+    # the ladder string itself is part of the key: inserting a new
+    # intermediate step must re-walk the ladder, not resume at a
+    # coarser cached pass that would mask the cheaper step
     lad_cache = _cache_path(
         "ladder", ckpt, ck_mtime, H, W, family, probe_sub, probe_stride,
-        sel_res, os.environ.get("BENCH_AUTOCAP", "1"))
+        sel_res, os.environ.get("BENCH_AUTOCAP", "1"), ladder_env)
     lcached = _cache_load(lad_cache)
     if lcached is not None:
         c0 = tuple(int(v) for v in lcached["cmf"])

@@ -39,9 +39,23 @@ def main():
     from nerf_replication_tpu.train.recorder import make_recorder
 
     steps = int(os.environ.get("ABL_STEPS", "200"))
+    # ABL_OUT: CPU smokes must not overwrite the queue's TPU artifact
+    # (the stage-skip check treats mere existence as completion)
+    out = os.environ.get(
+        "ABL_OUT", os.path.join(ROOT, "result", "abl_train_mlp.json"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
     rows = []
+
+    def flush_rows():
+        # write after EVERY config: a late compile failure (e.g. a
+        # remote-compile 500 at the largest batch) must not lose the
+        # finished measurements (r5 queue lost 4 rows this way)
+        with open(out, "w") as f:
+            json.dump(rows, f, indent=2)
+
     for n_rays in (1024, 2048, 4096):
       for mlp_path in ("xla", "fused"):
+       try:
         cfg, net, params, settings, apply_fn = _flagship(n_rays=n_rays)
         cfg.ep_iter = steps
         cfg.task_arg.N_rays = n_rays
@@ -71,13 +85,12 @@ def main():
         row = {"n_rays": n_rays, "mlp": mlp_path, "steps": steps,
                "wall_s": round(dt, 2), "rays_per_s": round(rays_s),
                "approx_mlp_tflops": round(tflops, 1)}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
-
-    out = os.path.join(ROOT, "result", "abl_train_mlp.json")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, "w") as f:
-        json.dump(rows, f, indent=2)
+       except Exception as e:  # noqa: BLE001 — keep the other configs
+        row = {"n_rays": n_rays, "mlp": mlp_path, "steps": steps,
+               "error": type(e).__name__, "msg": str(e)[:200]}
+       rows.append(row)
+       print(json.dumps(row), flush=True)
+       flush_rows()
     print("wrote", out)
 
 

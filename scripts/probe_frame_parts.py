@@ -97,6 +97,21 @@ def main():
         cfg.network.xyz_encoder["log2_bricks"] = bricks
         net = make_network(cfg)
         apply_fn = make_ngp_eval_apply(net, params, mxu_max_rows=2048)
+        # same compile-check fallback as bench.py run_ngp: a fused
+        # kernel variant Mosaic rejects on this chip (e.g. the
+        # combined 256-lane gather) must not kill the whole profile
+        for fallback in ({"NGP_FUSED_CGATHER": "0"}, {"NGP_FUSED": "0"}):
+            try:
+                p = jnp.zeros((4, 1, 3), jnp.float32)
+                d = jnp.zeros((4, 1, 3), jnp.float32)
+                np.asarray(apply_fn(params, p, d, "fine"))
+                break
+            except Exception as e:  # noqa: BLE001 — any compile failure
+                print(f"fused eval kernel failed ({type(e).__name__}); "
+                      f"falling back with {fallback}", flush=True)
+                os.environ.update(fallback)
+                apply_fn = make_ngp_eval_apply(net, params,
+                                               mxu_max_rows=2048)
         settings = dataclasses.replace(
             RenderSettings.from_cfg(cfg), ray_chunk=8000,
             fast_sampling=False)

@@ -73,6 +73,21 @@ stage "ngp bench (headline)" result/bench_ngp_r5.json render_fps 3900 \
 stage "freq raymarch bench" result/bench_freq_rm_r5.json render_fps 3900 \
   env BENCH_TAG=r5 BENCH_MODEL=freq_rm BENCH_TIMEOUT=3600 python bench.py
 
+# 1c. ladder v2: the r5 freq_rm run passed only at C=32,M=14,F=12
+#     (0.230 s/frame) because 32,10,10 missed the 0.2 dB budget by
+#     0.12; bench.py now inserts 32,12,10 and 32,12,12 between them.
+#     This stage re-walks the new ladder (the ladder cache key includes
+#     the ladder string, so the walk is fresh) and re-seeds the cache —
+#     the driver's final plain bench then starts at the cached step.
+stage "freq_rm bench (ladder v2)" result/bench_freq_rm_r5v2.json render_fps 3900 \
+  env BENCH_TAG=r5v2 BENCH_MODEL=freq_rm BENCH_TIMEOUT=3600 python bench.py
+
+# 1d. same reseed for the NGP family (insurance: if freq_rm ever fails
+#     its gate, the driver's plain bench falls back to ngp and must
+#     find a warm ladder cache to fit its 1200 s watchdog)
+stage "ngp bench (ladder v2 reseed)" result/bench_ngp_r5v2.json render_fps 3900 \
+  env BENCH_TAG=r5v2 BENCH_MODEL=ngp BENCH_TIMEOUT=3600 python bench.py
+
 # 2. frame strip profile with the r3-authored optimizations
 stage "frame strip profile" result/probe_parts_r5.json - 2400 \
   env PROBE_CMF=32,14,12 PROBE_SEL=1 PROBE_OCAP=0.25 PROBE_FCAP=0.23 \
@@ -122,20 +137,47 @@ python - <<'EOF'
 import json
 best, mode = 0.0, None
 for m in ("ngp", "freq", "freq_rm"):
-    try:
-        with open(f"result/bench_{m}_r5.json") as f:
-            o = json.loads(f.readline())
-        if (not o.get("stale")
-                and o.get("gate", {}).get("kind") != "dense-fallback"
-                and float(o.get("value", 0)) > best):
-            best, mode = float(o["value"]), m
-    except (OSError, ValueError):
-        pass
+    for tag in ("r5", "r5v2"):
+        try:
+            with open(f"result/bench_{m}_{tag}.json") as f:
+                o = json.loads(f.readline())
+            if (not o.get("stale")
+                    and o.get("gate", {}).get("kind") != "dense-fallback"
+                    and float(o.get("value", 0)) > best):
+                best, mode = float(o["value"]), m
+        except (OSError, ValueError):
+            pass
 if mode:
     with open("result/bench_best_mode.txt", "w") as f:
         f.write(mode + "\n")
 print("best mode:", mode, best)
 EOF
+
+# 7b. headline refresh: one plain-best-mode bench with the r5 tag so
+#     the committed result/bench_r5.json reflects the fastest gated
+#     family (earlier per-family stages each overwrote it; the LAST
+#     family to run is not necessarily the fastest). Warm caches make
+#     this a short run. Skipped until the v2 reseed exists so an early
+#     pass doesn't pay a cold full-ladder walk twice.
+if [ -s result/bench_freq_rm_r5v2.json ] && [ -s result/bench_best_mode.txt ] \
+    && ! grep -q '"stale": true' result/bench_freq_rm_r5v2.json; then
+  echo "=== headline refresh (best mode, tag r5) ==="
+  # a stale emission writes value 0.0 into EVERY _JSON_PATHS target —
+  # back up the good per-family artifacts and restore any that a
+  # mid-refresh tunnel flake turns stale
+  for a in result/bench_ngp_r5.json result/bench_freq_r5.json \
+           result/bench_freq_rm_r5.json result/bench_r5.json; do
+    [ -s "$a" ] && ! grep -q '"stale": true' "$a" && cp "$a" "$a.bak"
+  done
+  timeout 3900 env BENCH_TAG=r5 BENCH_TIMEOUT=3600 python bench.py
+  for a in result/bench_ngp_r5.json result/bench_freq_r5.json \
+           result/bench_freq_rm_r5.json result/bench_r5.json; do
+    if [ -s "$a.bak" ] && grep -q '"stale": true' "$a" 2>/dev/null; then
+      echo "headline refresh: restoring $a from backup (stale overwrite)"
+      cp "$a.bak" "$a"
+    fi
+  done
+fi
 
 echo "=== queue done ==="
 ls -la result/bench_*r5* result/abl_train_mlp.json result/scene_sweep.json \
@@ -151,6 +193,9 @@ git add -f data/pretrain/hard_ngp_b9/pretrain.ckpt 2>/dev/null
 git add -f result/bench_ngp_r5.json result/bench_ngp_r5.log \
   result/bench_freq_r5.json result/bench_freq_r5.log \
   result/bench_freq_rm_r5.json result/bench_freq_rm_r5.log \
+  result/bench_freq_rm_r5v2.json result/bench_freq_rm_r5v2.log \
+  result/bench_ngp_r5v2.json result/bench_ngp_r5v2.log \
+  result/bench_r5.json result/bench_r5.log \
   result/probe_parts_r5.json result/probe_parts_freq_r5.json \
   result/probe_fused_r5.log result/abl_train_mlp.json \
   result/quality_r5_ngp.jsonl result/quality_r5_freq.jsonl \

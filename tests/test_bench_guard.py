@@ -160,3 +160,27 @@ def test_watchdog_default_below_driver_timeout(monkeypatch):
     src = open(os.path.join(os.path.dirname(bench.__file__),
                             "bench.py")).read()
     assert '"BENCH_TIMEOUT", "1200"' in src
+
+
+def test_ladder_has_v2_intermediate_steps():
+    """The r5 freq_rm run passed only at 32,14,12 (0.230 s/frame)
+    because 32,10,10 missed the 0.2 dB budget by 0.12 dB; the default
+    ladder must keep the cheaper intermediate steps in between."""
+    src = open(os.path.join(os.path.dirname(bench.__file__),
+                            "bench.py")).read()
+    i = src.index('"BENCH_NGP_LADDER"')
+    default = src[i:i + 200]
+    assert "32,10,10" in default
+    assert "32,12,10" in default and "32,12,12" in default
+    assert "32,14,12" in default
+
+
+def test_ladder_cache_keyed_by_ladder_string():
+    """Inserting a new intermediate ladder step must invalidate the
+    cached passing step, or the walk would resume at a coarser pass and
+    never try the cheaper step."""
+    src = open(os.path.join(os.path.dirname(bench.__file__),
+                            "bench.py")).read()
+    i = src.index('lad_cache = _cache_path(')
+    call = src[i:i + 300]
+    assert "ladder_env)" in call
