@@ -15,6 +15,25 @@
 cd /root/repo || exit 1
 mkdir -p result
 
+# 0-pre. machine wipes delete data/synthetic (only git content
+# survives). The bench stages do NOT regenerate scenes themselves — a
+# missing test split silently degrades the quality gate to the weaker
+# frame-vs-dense criterion. Regenerate deterministically (seed 0 →
+# bit-identical GT) before anything else. numpy-only: no TPU client.
+for sc in hard med; do
+  if [ ! -f "data/synthetic/$sc/transforms_train.json" ]; then
+    echo "=== regenerating data/synthetic/$sc (800^2, 100 train views) ==="
+    timeout 1800 python - "$sc" <<'EOF'
+import sys, time
+from nerf_replication_tpu.utils.synthetic_scene import generate_scene
+t0 = time.time()
+generate_scene("data/synthetic", scene=sys.argv[1], H=800, W=800,
+               n_train=100, n_val=4, n_test=8)
+print(f"{sys.argv[1]} generated in {time.time() - t0:.0f}s", flush=True)
+EOF
+  fi
+done
+
 # the tunneled chip admits ONE client; even CPU-mode python processes
 # dial the relay here. Wait (up to 30 min) for quiet before starting.
 # The permanent tunnel keeper (/root/.tpu_init.py) is NOT a client —
