@@ -3,8 +3,17 @@
 # tunneled chip). RE-ENTRANT: each stage is skipped when its artifact
 # already exists and looks complete, so a mid-queue tunnel outage
 # preserves finished stages and a re-run resumes where it left off.
-# Ordered cheapest-first so early results land even if a later job
-# wedges the tunnel.
+#
+# FINAL-ROUND ORDER (this is round 5/5 — anything that misses the wall
+# clock never lands): the machine wipe deleted result/bench_cache and
+# .jax_cache, so the driver's final plain `python bench.py` (1200 s
+# watchdog) would walk a COLD freq_rm ladder and time out. Stage order
+# is therefore: (1) freq_rm ladder-v2 bench — re-warms the exact caches
+# the driver's run will hit AND walks the finer 32,12,* steps; then the
+# open VERDICT items — (2) fused-MLP train ablation, (3) 8-scene sweep
+# (third round asked), (4) freq quality run; then the bonus stages.
+# Every stage commits its artifacts immediately (result/ is gitignored
+# and the driver only preserves COMMITTED content).
 #
 # ADVICE r4 fixes vs the r4 queue:
 # - every bench stage pins BENCH_MODEL explicitly (the best-mode hint
@@ -51,6 +60,19 @@ for _ in $(seq 1 90); do
   sleep 20
 done
 
+# commit_art <message> <path...>: force-add (result/ is gitignored) and
+# commit immediately — a round-clock expiry mid-queue must not lose
+# landed evidence
+commit_art() {
+  local msg=$1
+  shift
+  git add -f "$@" 2>/dev/null
+  if ! git diff --cached --quiet; then
+    git commit -q -m "$msg"
+    echo "committed: $msg"
+  fi
+}
+
 # stage <name> <artifact> <done-marker|-> <timeout_s> <cmd...>
 #   skips when artifact exists non-empty, matches the done marker
 #   ("-" = mere existence), is not a stale bench emission, and is not
@@ -74,83 +96,71 @@ stage() {
   return $rc
 }
 
-# 0. retrain the NGP flagship checkpoint: data/pretrain/* (except the
-#    committed freq 'hard') did not survive the machine wipe, and every
-#    NGP stage below needs hard_ngp_b9. quality_run doubles as the
-#    time-to-PSNR artifact for the hard scene. Re-entrant via QR_RESUME.
+# 0. retrain the NGP flagship checkpoint if missing (survives in git
+#    now). quality_run doubles as the time-to-PSNR artifact for hard.
 stage "ngp flagship train (hard b9)" data/pretrain/hard_ngp_b9/pretrain.ckpt - 3900 \
   env QR_OUT=result/quality_r5_ngp_hard.jsonl QR_CFG=configs/nerf/hard_ngp.yaml \
   QR_SCENE=hard QR_BRICKS=9 QR_MINUTES=12 QR_RESUME=1 \
   python scripts/quality_run.py
+commit_art "Round-5 queue: NGP flagship checkpoint + hard quality run" \
+  data/pretrain/hard_ngp_b9/pretrain.ckpt result/quality_r5_ngp_hard.jsonl
 
-# 1. headline NGP bench — BENCH_MODEL pinned (ADVICE r4): this stage
-#    must produce the NGP artifact regardless of any best-mode hint
-stage "ngp bench (headline)" result/bench_ngp_r5.json render_fps 3900 \
-  env BENCH_TAG=r5 BENCH_MODEL=ngp BENCH_TIMEOUT=3600 python bench.py
-
-# 1b. freq flagship through the occupancy-raymarch path
-stage "freq raymarch bench" result/bench_freq_rm_r5.json render_fps 3900 \
-  env BENCH_TAG=r5 BENCH_MODEL=freq_rm BENCH_TIMEOUT=3600 python bench.py
-
-# 1c. ladder v2: the r5 freq_rm run passed only at C=32,M=14,F=12
-#     (0.230 s/frame) because 32,10,10 missed the 0.2 dB budget by
-#     0.12; bench.py now inserts 32,12,10 and 32,12,12 between them.
-#     This stage re-walks the new ladder (the ladder cache key includes
-#     the ladder string, so the walk is fresh) and re-seeds the cache —
-#     the driver's final plain bench then starts at the cached step.
+# 1. freq_rm ladder v2 — FIRST: re-warms the wiped grid/dense/ladder/XLA
+#    caches for the exact (checkpoint, default-ladder) key the driver's
+#    final plain bench will hit, and walks the new intermediate
+#    32,12,10 / 32,12,12 steps (the r5 run passed only at 32,14,12,
+#    0.230 s/frame; the strip profile puts 32,10,10 at 0.186 s).
 stage "freq_rm bench (ladder v2)" result/bench_freq_rm_r5v2.json render_fps 3900 \
   env BENCH_TAG=r5v2 BENCH_MODEL=freq_rm BENCH_TIMEOUT=3600 python bench.py
+commit_art "Round-5 queue: freq_rm ladder-v2 bench" \
+  result/bench_freq_rm_r5v2.json result/bench_freq_rm_r5v2.log
 
-# 1d. same reseed for the NGP family (insurance: if freq_rm ever fails
-#     its gate, the driver's plain bench falls back to ngp and must
-#     find a warm ladder cache to fit its 1200 s watchdog)
+# 2. fused-MLP train ablation (VERDICT r3 item 5 / r4 item 6)
+stage "fused-MLP train ablation" result/abl_train_mlp.json - 2400 \
+  python scripts/abl_train_mlp.py
+commit_art "Round-5 queue: fused-MLP train ablation" result/abl_train_mlp.json
+
+# 3. 8-scene sweep (VERDICT item 5, third round asked). eval_scenes is
+#    itself re-entrant (skips swept scenes, retries error rows, saves
+#    after every scene) so the stage always runs — a complete sweep
+#    no-ops in seconds.
+echo "=== 8-scene sweep ==="
+timeout 7200 python scripts/eval_scenes.py \
+  --base_cfg configs/nerf/sweep_ngp.yaml \
+  --train --generate 200 --views 40 --out result/scene_sweep.json
+commit_art "Round-5 queue: 8-scene sweep" result/scene_sweep.json
+
+# 4. freq-family quality run (second half of VERDICT item 4; the NGP
+#    half landed: 30.24 dB at 321 s, final 31.16 dB)
+stage "quality run (freq)" result/quality_r5_freq.jsonl '"event": "final"' 3600 \
+  env QR_OUT=result/quality_r5_freq.jsonl QR_CFG=configs/nerf/hard.yaml \
+  QR_SCENE=med QR_MINUTES=30 QR_RESUME=1 \
+  python scripts/quality_run.py
+commit_art "Round-5 queue: freq quality run" result/quality_r5_freq.jsonl
+
+# --- bonus stages (run only if wall clock remains) -------------------
+
+# 5. NGP ladder-v2 reseed (insurance: if freq_rm ever fails its gate,
+#    the driver's plain bench falls back to ngp and must find a warm
+#    ladder cache to fit its 1200 s watchdog)
 stage "ngp bench (ladder v2 reseed)" result/bench_ngp_r5v2.json render_fps 3900 \
   env BENCH_TAG=r5v2 BENCH_MODEL=ngp BENCH_TIMEOUT=3600 python bench.py
+commit_art "Round-5 queue: ngp ladder-v2 bench" \
+  result/bench_ngp_r5v2.json result/bench_ngp_r5v2.log
 
-# 2. frame strip profile with the r3-authored optimizations
+# 6. frame strip profile with the r3-authored optimizations
 stage "frame strip profile" result/probe_parts_r5.json - 2400 \
   env PROBE_CMF=32,14,12 PROBE_SEL=1 PROBE_OCAP=0.25 PROBE_FCAP=0.23 \
   PROBE_OUT=result/probe_parts_r5.json \
   python scripts/probe_frame_parts.py
+commit_art "Round-5 queue: ngp strip profile" result/probe_parts_r5.json
 
-# 2b. strip profile of the freq_rm raymarch frame
-stage "freq_rm strip profile" result/probe_parts_freq_r5.json - 2400 \
-  env PROBE_FAMILY=freq PROBE_CMF=32,10,10 PROBE_SEL=1 PROBE_OCAP=0.25 \
-  PROBE_FCAP=0.23 PROBE_OUT=result/probe_parts_freq_r5.json \
-  python scripts/probe_frame_parts.py
-
-# 2c. fused-kernel micro-sweep: blk x bf16 x combined-gather
+# 7. fused-kernel micro-sweep: blk x bf16 x combined-gather
 stage "fused kernel sweep" result/probe_fused_r5.log "blk=4096 bf16=1 cg=1" 2400 \
   sh -c 'python scripts/probe_fused.py > result/probe_fused_r5.log 2>&1'
+commit_art "Round-5 queue: fused kernel micro-sweep" result/probe_fused_r5.log
 
-# 3. fused-MLP train ablation (VERDICT r3 item 5 / r4 item 6)
-stage "fused-MLP train ablation" result/abl_train_mlp.json - 2400 \
-  python scripts/abl_train_mlp.py
-
-# 4. freq bench refresh
-stage "freq bench" result/bench_freq_r5.json render_fps 2400 \
-  env BENCH_TAG=r5 BENCH_MODEL=freq BENCH_TIMEOUT=2100 python bench.py
-
-# 5. train headline: time-to-30dB on med at 800^2 (NGP + freq);
-#    QR_RESUME lets an interrupted run continue from its checkpoint
-stage "quality run (ngp b9)" result/quality_r5_ngp.jsonl '"event": "final"' 3600 \
-  env QR_OUT=result/quality_r5_ngp.jsonl QR_CFG=configs/nerf/hard_ngp.yaml \
-  QR_SCENE=med QR_BRICKS=9 QR_MINUTES=12 QR_RESUME=1 \
-  python scripts/quality_run.py
-stage "quality run (freq)" result/quality_r5_freq.jsonl '"event": "final"' 7200 \
-  env QR_OUT=result/quality_r5_freq.jsonl QR_CFG=configs/nerf/hard.yaml \
-  QR_SCENE=med QR_MINUTES=30 QR_RESUME=1 \
-  python scripts/quality_run.py
-
-# 6. 8-scene sweep (longest; runs last). eval_scenes is itself
-# re-entrant (skips swept scenes, retries error rows, saves after every
-# scene) so the stage always runs — a complete sweep no-ops in seconds.
-echo "=== 8-scene sweep ==="
-timeout 14000 python scripts/eval_scenes.py \
-  --base_cfg configs/nerf/sweep_ngp.yaml \
-  --train --generate 200 --views 40 --out result/scene_sweep.json
-
-# 7. record the fastest gated family so the driver's plain
+# 8. record the fastest gated family so the driver's plain
 #    `python bench.py` reports it (bench.py main() reads this hint)
 python - <<'EOF'
 import json
@@ -172,12 +182,11 @@ if mode:
 print("best mode:", mode, best)
 EOF
 
-# 7b. headline refresh: one plain-best-mode bench with the r5 tag so
+# 8b. headline refresh: one plain-best-mode bench with the r5 tag so
 #     the committed result/bench_r5.json reflects the fastest gated
-#     family (earlier per-family stages each overwrote it; the LAST
-#     family to run is not necessarily the fastest). Warm caches make
-#     this a short run. Skipped until the v2 reseed exists so an early
-#     pass doesn't pay a cold full-ladder walk twice.
+#     family. Warm caches make this a short run. Skipped until the v2
+#     reseed exists so an early pass doesn't pay a cold full-ladder
+#     walk twice.
 if [ -s result/bench_freq_rm_r5v2.json ] && [ -s result/bench_best_mode.txt ] \
     && ! grep -q '"stale": true' result/bench_freq_rm_r5v2.json; then
   echo "=== headline refresh (best mode, tag r5) ==="
@@ -202,14 +211,10 @@ echo "=== queue done ==="
 ls -la result/bench_*r5* result/abl_train_mlp.json result/scene_sweep.json \
   result/quality_r5_*.jsonl 2>/dev/null
 
-# 8. auto-commit the evidence so a late tunnel window still lands in
-#    git even if the interactive session is out of turns (result/ is
-#    gitignored — force-add the specific artifacts)
-# the committed freq checkpoint is the only one that survived this
-# round's machine wipe — commit the retrained NGP flagship too (the
-# brick-encoder params are ~MBs) so round 6 never re-trains to bench
-git add -f data/pretrain/hard_ngp_b9/pretrain.ckpt 2>/dev/null
-git add -f result/bench_ngp_r5.json result/bench_ngp_r5.log \
+# 9. final sweep-up commit of everything the stages produced
+commit_art "Round-5 TPU queue artifacts (auto-committed on queue completion)" \
+  data/pretrain/hard_ngp_b9/pretrain.ckpt \
+  result/bench_ngp_r5.json result/bench_ngp_r5.log \
   result/bench_freq_r5.json result/bench_freq_r5.log \
   result/bench_freq_rm_r5.json result/bench_freq_rm_r5.log \
   result/bench_freq_rm_r5v2.json result/bench_freq_rm_r5v2.log \
@@ -219,7 +224,4 @@ git add -f result/bench_ngp_r5.json result/bench_ngp_r5.log \
   result/probe_fused_r5.log result/abl_train_mlp.json \
   result/quality_r5_ngp.jsonl result/quality_r5_freq.jsonl \
   result/quality_r5_ngp_hard.jsonl \
-  result/scene_sweep.json result/bench_best_mode.txt 2>/dev/null
-if ! git diff --cached --quiet; then
-  git commit -m "Round-5 TPU queue artifacts (auto-committed on queue completion)"
-fi
+  result/scene_sweep.json result/bench_best_mode.txt
