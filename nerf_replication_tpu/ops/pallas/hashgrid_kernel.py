@@ -118,21 +118,30 @@ def _strategies(layout):
 
 
 def compute_brick_ids(layout: BrickLayout, x: jnp.ndarray) -> jnp.ndarray:
-    """x (N, 3) in [0,1] -> per-level LOCAL brick ids (N, L) int32."""
+    """x (N, 3) in [0,1] -> per-level LOCAL brick ids (N, L) int32.
+
+    Computed per COMPONENT on (N,) vectors: a materialized (N, 3) or
+    (N, 1) temp gets the TPU (8, 128) tiled layout, which pads the
+    3-/1-wide minor dim to 128 lanes — 42-128x HBM expansion (at
+    4.48M points that is 2.14G per temp; 14 such temps OOMed a 16G
+    v5e). Rank-1 temps tile on the lane dim directly and stay at
+    byte size.
+    """
+    xs = [x[:, a] for a in range(3)]
     ids = []
     for l, res in enumerate(layout.scales):
         bs = layout.bsides[l]
-        cell = jnp.clip(jnp.floor(x * res).astype(jnp.int32), 0, res - 1)
-        bc = cell // BRICK                                    # (N, 3)
+        bc = [jnp.clip(jnp.floor(xa * res).astype(jnp.int32), 0, res - 1)
+              // BRICK for xa in xs]                          # 3 x (N,)
         if layout.use_hash[l]:
             cap = layout.offsets[l + 1] - layout.offsets[l]
             cap_pow2 = 1 << int(np.floor(np.log2(cap)))
-            h = bc[:, 0].astype(jnp.uint32)
-            h = h ^ (bc[:, 1].astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
-            h = h ^ (bc[:, 2].astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+            h = bc[0].astype(jnp.uint32)
+            h = h ^ (bc[1].astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+            h = h ^ (bc[2].astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
             bid = (h % jnp.uint32(cap_pow2)).astype(jnp.int32)
         else:
-            bid = (bc[:, 0] * bs + bc[:, 1]) * bs + bc[:, 2]
+            bid = (bc[0] * bs + bc[1]) * bs + bc[2]
         ids.append(bid)
     return jnp.stack(ids, axis=-1)
 
