@@ -97,6 +97,11 @@ def main():
     if os.environ.get("QR_BRICKS"):   # brick-encoder capacity ablations
         cfg.network.xyz_encoder["log2_bricks"] = int(os.environ["QR_BRICKS"])
         cfg.exp_name += "_b" + os.environ["QR_BRICKS"]
+    if os.environ.get("QR_FUSED_MLP"):  # fused-MLP train ablation arm
+        cfg.network["use_pallas_mlp_train"] = \
+            os.environ["QR_FUSED_MLP"] == "1"
+        if cfg.network["use_pallas_mlp_train"]:
+            cfg.exp_name += "_fmlp"
     # derive AFTER every exp_name suffix so ablations never overwrite
     # the base experiment's checkpoints
     cfg.trained_model_dir = os.path.join(
