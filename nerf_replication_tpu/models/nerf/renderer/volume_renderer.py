@@ -425,9 +425,16 @@ class Renderer:
         # cfg.network.use_pallas_mlp_train: run the TRAIN-path MLP
         # through the differentiable fused kernels (ops/pallas/
         # mlp_train.py) — bf16 delta chain, f32 master weights; the
-        # XLA apply remains the default and the eval reference
-        if cfg is not None and cfg.get("network", {}).get(
-                "use_pallas_mlp_train", False):
+        # XLA apply remains the eval reference either way. Default
+        # "auto" (round-5 ablation decision): fused on TPU — +25-35%
+        # train rays/s at equal quality (result/abl_train_mlp.json,
+        # result/abl_mlp_quality.json) — and XLA elsewhere, where the
+        # Pallas interpreter would be far slower than XLA
+        flag = "auto"
+        if cfg is not None:
+            flag = cfg.get("network", {}).get("use_pallas_mlp_train", "auto")
+        if (jax.default_backend() == "tpu"
+                if flag in ("auto", None) else bool(flag)):
             from ....ops.pallas.mlp_train import make_fused_train_apply
 
             fused = make_fused_train_apply(net)
